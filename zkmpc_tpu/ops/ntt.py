@@ -1,0 +1,149 @@
+"""Radix-2 NTT and polynomial evaluation domains on TPU.
+
+Semantics match the reference's arkworks `Radix2EvaluationDomain`
+(`arkworks/algebra/poly/src/domain/radix2`): for a domain H of power-of-two
+size n with generator omega (`F::get_root_of_unity(n)`),
+
+- ``fft(coeffs)[i]   = f(omega^i)``
+- ``ifft(evals)``      inverts it (inverse twiddles, scale by 1/n)
+- ``coset_fft``        evaluates over the coset g*H where g is the field's
+                       multiplicative generator (used by Groth16's
+                       divide-by-vanishing-poly trick: Z_H(g*omega^i) = g^n - 1
+                       is constant on the coset; reference `src/groth16.rs:240-307`).
+
+The butterfly network is fully vectorized: each of the log2(n) stages is one
+batched Montgomery multiply + lazy add/sub over the whole array, so the TPU
+sees ~log2(n) large elementwise kernels and no data-dependent control flow.
+Shares are additively linear, so the same NTT runs unchanged on secret-shared
+tensors (reference `wire/field.rs:1068-1082`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import field as specfield
+from .limbs import FieldSpec, FpArray
+
+
+@functools.lru_cache(maxsize=None)
+def _domain_tables(spec: FieldSpec, n: int):
+    """Host-precomputed integer tables for a size-n domain."""
+    assert n & (n - 1) == 0 and n >= 1
+    log_n = n.bit_length() - 1
+    assert spec.two_adicity is not None and log_n <= spec.two_adicity, (
+        f"domain size 2^{log_n} exceeds 2-adicity of {spec.name}")
+    p = spec.p
+    omega = specfield.root_of_unity(p, spec.generator, spec.two_adicity, n)
+    omega_inv = pow(omega, -1, p) if n > 1 else 1
+    n_inv = pow(n, -1, p)
+    g = spec.generator % p
+    g_inv = pow(g, -1, p)
+    # bit reversal permutation
+    rev = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        r = 0
+        for b in range(log_n):
+            r |= ((i >> b) & 1) << (log_n - 1 - b)
+        rev[i] = r
+    return omega, omega_inv, n_inv, g, g_inv, rev
+
+
+class Domain:
+    """Radix-2 evaluation domain over ``spec`` of power-of-two size ``n``."""
+
+    _cache: dict = {}
+
+    def __new__(cls, spec: FieldSpec, n: int):
+        key = (spec, n)
+        if key in cls._cache:
+            return cls._cache[key]
+        self = super().__new__(cls)
+        cls._cache[key] = self
+        self._init(spec, n)
+        return self
+
+    def _init(self, spec, n):
+        self.spec = spec
+        self.n = n
+        self.log_n = n.bit_length() - 1
+        omega, omega_inv, n_inv, g, g_inv, rev = _domain_tables(spec, n)
+        self.omega, self.omega_inv, self.n_inv = omega, omega_inv, n_inv
+        self.coset_gen = g
+        self._rev = jnp.asarray(rev)
+        p = spec.p
+        # per-stage twiddles: stage s has block size m=2^(s+1), uses
+        # w = omega^(n/m) and powers w^0..w^(m/2-1)
+        self._tw_fwd, self._tw_inv = [], []
+        for s in range(self.log_n):
+            m = 1 << (s + 1)
+            w = pow(omega, n // m, p)
+            wi = pow(omega_inv, n // m, p)
+            half = m // 2
+            fwd = [pow(w, j, p) for j in range(half)]
+            inv = [pow(wi, j, p) for j in range(half)]
+            self._tw_fwd.append(FpArray.from_int(spec, np.asarray(fwd, dtype=object)))
+            self._tw_inv.append(FpArray.from_int(spec, np.asarray(inv, dtype=object)))
+        # coset scaling vectors: g^i and g^-i / plain n^-1
+        self._coset_pows = FpArray.from_int(
+            spec, np.asarray([pow(g, i, p) for i in range(n)], dtype=object))
+        self._coset_inv_pows_scaled = FpArray.from_int(
+            spec, np.asarray([pow(g_inv, i, p) * n_inv % p for i in range(n)],
+                             dtype=object))
+        self._n_inv_fp = FpArray.from_int(spec, np.asarray(n_inv, dtype=object))
+        # (g^n - 1)^-1: constant value of 1/Z_H on the coset
+        self.vanishing_on_coset_inv = pow(pow(g, n, p) - 1, -1, p)
+        self._vanish_inv_fp = FpArray.from_int(
+            spec, np.asarray(self.vanishing_on_coset_inv, dtype=object))
+
+    # ---------------------------------------------------------------- kernels
+
+    def _butterflies(self, x: FpArray, twiddles) -> FpArray:
+        """Iterative DIT NTT given bit-reversed input. x: [..., n] field elems."""
+        n = self.n
+        batch = x.shape[:-1]
+        for s in range(self.log_n):
+            m = 1 << (s + 1)
+            half = m // 2
+            y = x.reshape(batch + (n // m, m))
+            even = FpArray(y.limbs[..., :half, :], y.spec, y.bound)
+            odd = FpArray(y.limbs[..., half:, :], y.spec, y.bound)
+            t = odd * twiddles[s]
+            hi = even + t
+            lo = even - t
+            x = FpArray(jnp.concatenate([hi.limbs, lo.limbs], axis=-2),
+                        y.spec, max(hi.bound, lo.bound))
+            x = x.reshape(batch + (n,))
+        return x
+
+    def fft(self, coeffs: FpArray) -> FpArray:
+        """coeffs [..., n] -> evaluations f(omega^i), i in 0..n-1."""
+        assert coeffs.shape[-1] == self.n
+        x = FpArray(jnp.take(coeffs.limbs, self._rev, axis=-2),
+                    coeffs.spec, coeffs.bound)
+        return self._butterflies(x, self._tw_fwd)
+
+    def ifft(self, evals: FpArray) -> FpArray:
+        assert evals.shape[-1] == self.n
+        x = FpArray(jnp.take(evals.limbs, self._rev, axis=-2),
+                    evals.spec, evals.bound)
+        out = self._butterflies(x, self._tw_inv)
+        return out * self._n_inv_fp
+
+    def coset_fft(self, coeffs: FpArray) -> FpArray:
+        """Evaluate over g*H: scale coeff j by g^j, then fft."""
+        scaled = coeffs * self._coset_pows
+        return self.fft(scaled)
+
+    def coset_ifft(self, evals: FpArray) -> FpArray:
+        x = FpArray(jnp.take(evals.limbs, self._rev, axis=-2),
+                    evals.spec, evals.bound)
+        out = self._butterflies(x, self._tw_inv)
+        return out * self._coset_inv_pows_scaled
+
+    def divide_by_vanishing_poly_on_coset(self, evals: FpArray) -> FpArray:
+        """Pointwise multiply coset evaluations by 1/(g^n - 1)."""
+        return evals * self._vanish_inv_fp
