@@ -16,3 +16,9 @@ import jax  # noqa: E402
 # axon TPU tunnel) is installed; force the platform through the config too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the test suite is compile-dominated (hundreds
+# of small limb kernels), so cache across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zkmpc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

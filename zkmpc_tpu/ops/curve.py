@@ -79,9 +79,11 @@ class SWPoint:
     @staticmethod
     def concat(points, axis=0):
         cls0 = type(points[0].x)
-        return SWPoint(cls0.concat([p.x for p in points], axis),
-                       cls0.concat([p.y for p in points], axis),
-                       cls0.concat([p.z for p in points], axis),
+        # coord limb arrays have a trailing limb axis: shift negative axes
+        caxis = axis - 1 if axis < 0 else axis
+        return SWPoint(cls0.concat([p.x for p in points], caxis),
+                       cls0.concat([p.y for p in points], caxis),
+                       cls0.concat([p.z for p in points], caxis),
                        jnp.concatenate([p.inf for p in points], axis))
 
     # ------------------------------------------------------------ constructors
@@ -202,7 +204,7 @@ def sw_neg(p: SWPoint) -> SWPoint:
 
 def scalar_bits(scalars: FpArray, nbits: int):
     """Canonical little-endian bits [..., nbits] (uint32 0/1) of field scalars."""
-    limbs = scalars.canon_limbs()  # [..., n] of 15-bit limbs
+    limbs = scalars.int_limbs()  # [..., n] of 15-bit limbs (integer value)
     shifts = jnp.arange(15, dtype=jnp.uint32)
     bits = (limbs[..., :, None] >> shifts) & 1  # [..., n, 15]
     bits = bits.reshape(bits.shape[:-2] + (-1,))
@@ -361,14 +363,15 @@ def te_neg(p: TEPoint) -> TEPoint:
     return TEPoint(-p.x, p.y, -p.t, p.z)
 
 
-_TE_TWO_D_CACHE = None
+from .limbs import int_to_limbs as _int_to_limbs
+
+# host-side constant limbs (Montgomery form of 2d); safe to materialize
+# inside any trace, unlike caching a device array
+_TE_TWO_D_LIMBS = _int_to_limbs(_ED_2D * (FR.R % FR.p) % FR.p, FR.nlimbs)
 
 
 def _te_two_d():
-    global _TE_TWO_D_CACHE
-    if _TE_TWO_D_CACHE is None:
-        _TE_TWO_D_CACHE = FpArray.from_int(FR, np.asarray(_ED_2D, dtype=object))
-    return _TE_TWO_D_CACHE
+    return FpArray(jnp.asarray(_TE_TWO_D_LIMBS), FR, 1)
 
 
 def te_scalar_mul(points: TEPoint, scalars: FpArray, nbits: int | None = None

@@ -93,6 +93,7 @@ class FieldSpec:
         self.p_limbs = int_to_limbs(p, n)
         self.pprime_limbs = int_to_limbs(self.pprime, n)
         self.one_limbs = int_to_limbs(self.r_mod_p, n)  # Montgomery repr of 1
+        self.int_one_limbs = int_to_limbs(1, n)         # raw integer 1
 
         # Max product of input bounds for a single Montgomery multiply:
         # need bound_a*bound_b*p <= R/2 so the REDC output stays below 2p.
@@ -173,28 +174,42 @@ def _resolve2(cols):
     return z
 
 
+@functools.lru_cache(maxsize=None)
+def _conv_matrix(na: int, nb: int, total: int):
+    """0/1 matrix [2*na*nb, total] mapping outer-product (i,j) lo/hi parts to
+    their column k = i+j (lo) and k = i+j+1 (hi)."""
+    t = np.zeros((2 * na * nb, total), dtype=np.float32)
+    for i in range(na):
+        for j in range(nb):
+            if i + j < total:
+                t[i * nb + j, i + j] = 1.0
+            if i + j + 1 < total:
+                t[na * nb + i * nb + j, i + j + 1] = 1.0
+    return t
+
+
 def _conv_cols(a, b, nout=None):
     """Column sums of the limb convolution of a [...,na] and b [...,nb].
 
-    Inputs must have limbs <= B+1.  Output columns < na*(B*2.01)*~2 < 2**23.
+    Inputs must have limbs <= B+1.  Output columns < 2*min(na,nb)*2^16 < 2**23.
     ``nout`` truncates to the low ``nout`` columns (for mod-R half products).
+
+    Implemented as one exact f32 matmul: the lo/hi split keeps every value
+    below 2^16 (f32-exact) and every column sum below 2^23 (f32-exact), so the
+    whole schoolbook convolution rides the MXU.
     """
     na = a.shape[-1]
     nb = b.shape[-1]
     total = na + nb if nout is None else nout
-    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    acc = jnp.zeros(batch + (total,), dtype=_U32)
-    for i in range(na):
-        if nout is not None and i >= nout:
-            break
-        seg = b[..., : min(nb, total - i)]
-        prod = a[..., i:i + 1] * seg
-        lo = prod & MASK
-        hi = prod >> W
-        acc = acc.at[..., i:i + seg.shape[-1]].add(lo)
-        hi_end = min(total, i + 1 + seg.shape[-1])
-        acc = acc.at[..., i + 1:hi_end].add(hi[..., :hi_end - (i + 1)])
-    return acc
+    outer = a[..., :, None] * b[..., None, :]          # u32, exact (<2^31)
+    lo = (outer & MASK).astype(jnp.float32)
+    hi = (outer >> W).astype(jnp.float32)
+    flat = jnp.concatenate(
+        [lo.reshape(lo.shape[:-2] + (na * nb,)),
+         hi.reshape(hi.shape[:-2] + (na * nb,))], axis=-1)
+    t = jnp.asarray(_conv_matrix(na, nb, total))
+    cols = jnp.dot(flat, t, preferred_element_type=jnp.float32)
+    return cols.astype(_U32)
 
 
 def _mont_mul_limbs(spec: FieldSpec, a, b):
@@ -223,6 +238,18 @@ def _full_resolve(x, passes=None):
         c = y >> W
         y = (y & MASK).at[..., 1:].add(c[..., :-1])
     return y
+
+
+def _canonicalize_lt2p(spec: "FieldSpec", limbs):
+    """Exact canonical limbs (< B, value < p) for a value known < 2p."""
+    y = _full_resolve(limbs)[..., :spec.nlimbs + 1]
+    p_ext = jnp.concatenate([jnp.asarray(spec.p_limbs), jnp.zeros(1, dtype=_U32)])
+    ge = _geq(y, p_ext)
+    yi = y.astype(jnp.int32) - jnp.where(ge[..., None], p_ext.astype(jnp.int32), 0)
+    for _ in range(spec.nlimbs + 2):
+        c = yi >> W
+        yi = (yi & MASK).at[..., 1:].add(c[..., :-1])
+    return yi[..., :spec.nlimbs].astype(_U32)
 
 
 def _geq(a, b):
@@ -305,7 +332,9 @@ class FpArray:
         out = np.zeros((flat.size, spec.nlimbs), dtype=np.uint32)
         for i, v in enumerate(flat):
             out[i] = int_to_limbs(int(v) % spec.p * spec.r_mod_p % spec.p, spec.nlimbs)
-        return cls(jnp.asarray(out.reshape(arr.shape + (spec.nlimbs,))), spec, 1)
+        # keep a host numpy array: safe to cache across jit traces (no tracer
+        # leaks when constants are built inside scan bodies / jitted fns)
+        return cls(out.reshape(arr.shape + (spec.nlimbs,)), spec, 1)
 
     @classmethod
     def zeros(cls, spec: FieldSpec, shape=()):
@@ -453,18 +482,17 @@ class FpArray:
     # --------------------------------------------------------- canonicalization
 
     def canon_limbs(self):
-        """Exact canonical limbs (< B, value < p).  Cold path."""
-        x = self.tighten()  # value < 2p
-        y = _full_resolve(x.limbs)[..., :self.spec.nlimbs + 1]
-        p_ext = jnp.concatenate([jnp.asarray(self.spec.p_limbs),
-                                 jnp.zeros(1, dtype=_U32)])
-        ge = _geq(y, p_ext)
-        # conditional subtract p (signed, then exact signed carry passes)
-        yi = y.astype(jnp.int32) - jnp.where(ge[..., None], p_ext.astype(jnp.int32), 0)
-        for _ in range(self.spec.nlimbs + 2):
-            c = yi >> W
-            yi = (yi & MASK).at[..., 1:].add(c[..., :-1])
-        return yi[..., :self.spec.nlimbs].astype(_U32)
+        """Exact canonical limbs of the *Montgomery representative* (< p).
+        Sound for equality/zero tests (Montgomery form is a bijection)."""
+        return _canonicalize_lt2p(self.spec, self.tighten().limbs)
+
+    def int_limbs(self):
+        """Exact canonical limbs of the *integer value* (de-Montgomerized).
+        Use for bit extraction (MSM digits, serialization)."""
+        spec = self.spec
+        x = self if self.bound <= spec.mul_bound_budget else self.tighten()
+        raw = _mont_mul_limbs(spec, x.limbs, jnp.asarray(spec.int_one_limbs))
+        return _canonicalize_lt2p(spec, raw)
 
     def is_zero(self):
         return jnp.all(self.canon_limbs() == 0, axis=-1)

@@ -1,0 +1,92 @@
+"""Multi-scalar multiplication kernels.
+
+Replaces the reference's Pippenger `VariableBaseMSM::multi_scalar_mul`
+(`arkworks/algebra/ec/src/msm/variable_base.rs:12`) — the hottest op in
+Groth16/KZG commitments (SURVEY.md §3.1-3.2 hot loops).
+
+v1 strategy: fully-batched double-and-add ladder over all points in parallel
+(one `lax.scan` over scalar bits; every step is a wide vectorized point op)
+followed by a log-depth complete-addition tree reduction.  This is O(bits * N)
+point-operation *lanes* but only ~2*bits sequential steps, which maps cleanly
+onto the VPU.  A windowed/bucketed Pallas kernel is the planned next
+optimization (sorted buckets + segment reduction).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .curve import (SWPoint, TEPoint, sw_add_complete, sw_scalar_mul,
+                    te_add, te_scalar_mul)
+from .fp2 import Fp2Array
+from .limbs import FpArray
+
+
+def _bcast_sw(points: SWPoint, shape) -> SWPoint:
+    def bc(f):
+        if isinstance(f, FpArray):
+            return f.broadcast_to(shape)
+        return Fp2Array(f.c0.broadcast_to(shape), f.c1.broadcast_to(shape))
+    return SWPoint(bc(points.x), bc(points.y), bc(points.z),
+                   jnp.broadcast_to(points.inf, shape))
+
+
+def sw_msm(points: SWPoint, scalars: FpArray, nbits: int | None = None) -> SWPoint:
+    """points: [N] (or broadcastable), scalars: [..., N] -> SWPoint [...]."""
+    shape = scalars.shape
+    pts = _bcast_sw(points, shape)
+    prods = sw_scalar_mul(pts, scalars, nbits)
+    return _sw_reduce_last(prods)
+
+
+def _sw_reduce_last(p: SWPoint) -> SWPoint:
+    def take(q, sl):
+        return SWPoint(
+            _coord_slice(q.x, sl), _coord_slice(q.y, sl), _coord_slice(q.z, sl),
+            q.inf[..., sl])
+    while p.shape[-1] > 1:
+        n = p.shape[-1]
+        half = n // 2
+        a = take(p, slice(0, half))
+        b = take(p, slice(half, 2 * half))
+        folded = sw_add_complete(a, b)
+        if n % 2:
+            rest = take(p, slice(2 * half, n))
+            folded = SWPoint.concat([folded, rest], axis=-1)
+        p = folded
+    return take(p, 0)
+
+
+def _coord_slice(f, sl):
+    if isinstance(f, FpArray):
+        return FpArray(f.limbs[..., sl, :], f.spec, f.bound)
+    return Fp2Array(_coord_slice(f.c0, sl), _coord_slice(f.c1, sl))
+
+
+def te_msm(points: TEPoint, scalars: FpArray, nbits: int | None = None) -> TEPoint:
+    """points: [N] (or broadcastable), scalars: [..., N] -> TEPoint [...]."""
+    shape = scalars.shape
+
+    def bc(f):
+        return f.broadcast_to(shape)
+    pts = TEPoint(bc(points.x), bc(points.y), bc(points.t), bc(points.z))
+    prods = te_scalar_mul(pts, scalars, nbits)
+    while prods.shape[-1] > 1:
+        n = prods.shape[-1]
+        half = n // 2
+        a = TEPoint(*[_coord_slice(c, slice(0, half)) for c in
+                      (prods.x, prods.y, prods.t, prods.z)])
+        b = TEPoint(*[_coord_slice(c, slice(half, 2 * half)) for c in
+                      (prods.x, prods.y, prods.t, prods.z)])
+        folded = te_add(a, b)
+        if n % 2:
+            rest = TEPoint(*[_coord_slice(c, slice(2 * half, n)) for c in
+                             (prods.x, prods.y, prods.t, prods.z)])
+            folded = TEPoint(
+                FpArray.concat([folded.x, rest.x], axis=-2),
+                FpArray.concat([folded.y, rest.y], axis=-2),
+                FpArray.concat([folded.t, rest.t], axis=-2),
+                FpArray.concat([folded.z, rest.z], axis=-2))
+        prods = folded
+    return TEPoint(*[_coord_slice(c, 0) for c in
+                     (prods.x, prods.y, prods.t, prods.z)])
