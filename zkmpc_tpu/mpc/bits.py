@@ -1,0 +1,489 @@
+"""MPC bitwise protocols over shared field elements.
+
+TPU re-design of the reference's `MpcBooleanField` + bit protocols
+(`mpc-algebra/src/wire/boolean_field.rs`, `wire/field.rs:250-763`,
+`mpc_primitives.rs`): shared bits are field shares constrained to {0,1}; AND
+is a Beaver multiply; everything else is affine.  The key difference from the
+reference: every protocol here is *batched over tensors*, so e.g. one
+equality-zero test over a vector costs the same communication rounds as a
+single test (the reference pays 3,795 broadcasts per EqualityZero —
+`docs/benchmark.md`; we pay ~10 batched openings).
+
+Protocols:
+- ``bit_rand``: uniform shared bits via the square-root trick
+  (`boolean_field.rs:150-170`).
+- ``rand_number_bitwise``: bitwise-shared uniform value < p with rejection
+  folded into a fixed number of batched candidates (`boolean_field.rs:172`).
+- ``equality_zero``: open c = x + r, bitwise-compare with shared r bits, k-ary
+  AND tree (`wire/field.rs:611-667`).
+- ``bitwise_lt``: MSB prefix-or comparator (`boolean_field.rs:108-148`).
+- ``bit_decomposition``: open c = x - r, shared binary addition with carry
+  lookahead (`wire/field.rs:669-763`).
+- ``is_smaller_or_equal_than_mod_minus_one_div_two`` / ``less_than``: the
+  Catrina-de Hoogh LSB method (`wire/field.rs:250-306`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.limbs import FieldSpec, FpArray, W as LIMB_W
+from ..parallel import transport as T
+from . import rand as RND
+from .share import MpcFp, PUBLIC, SHARED, ctx, rand_shared
+
+# ---------------------------------------------------------------------------
+# boolean algebra on shared bits (bits are MpcFp in {0,1})
+# ---------------------------------------------------------------------------
+
+
+def b_and(a: MpcFp, b: MpcFp) -> MpcFp:
+    return a * b
+
+
+def b_or(a: MpcFp, b: MpcFp) -> MpcFp:
+    return a + b - a * b
+
+
+def b_xor(a: MpcFp, b: MpcFp) -> MpcFp:
+    ab = a * b
+    return a + b - ab.smul(2)
+
+
+def b_not(a: MpcFp) -> MpcFp:
+    return MpcFp.const(a.spec, 1) - a
+
+
+def _tree_reduce_lastaxis(bits: MpcFp, op) -> MpcFp:
+    """Reduce [.., n] -> [..] with a log-depth tree of batched ops."""
+    x = bits
+    while x.shape[-1] > 1:
+        n = x.shape[-1]
+        half = n // 2
+        a = _slice_last(x, 0, half)
+        b = _slice_last(x, half, 2 * half)
+        folded = op(a, b)
+        if n % 2:
+            folded = _concat_last(folded, _slice_last(x, 2 * half, n))
+        x = folded
+    return _index_last(x, 0)
+
+
+def kary_and(bits: MpcFp) -> MpcFp:
+    return _tree_reduce_lastaxis(bits, b_and)
+
+
+def kary_or(bits: MpcFp) -> MpcFp:
+    return _tree_reduce_lastaxis(bits, b_or)
+
+
+def _slice_last(x: MpcFp, a, b) -> MpcFp:
+    def f(fp: FpArray):
+        return FpArray(fp.limbs[..., a:b, :], fp.spec, fp.bound)
+    return MpcFp(f(x.value), x.visibility,
+                 None if x.mac is None else f(x.mac))
+
+
+def _concat_last(x: MpcFp, y: MpcFp) -> MpcFp:
+    def f(a: FpArray, b: FpArray):
+        return FpArray(jnp.concatenate([a.limbs, b.limbs], axis=-2),
+                       a.spec, max(a.bound, b.bound))
+    return MpcFp(f(x.value, y.value), x.visibility,
+                 None if x.mac is None else f(x.mac, y.mac))
+
+
+def _index_last(x: MpcFp, i) -> MpcFp:
+    def f(fp: FpArray):
+        return FpArray(fp.limbs[..., i, :], fp.spec, fp.bound)
+    return MpcFp(f(x.value), x.visibility,
+                 None if x.mac is None else f(x.mac))
+
+
+# ---------------------------------------------------------------------------
+# public square root (in-graph constant-structure Tonelli-Shanks)
+# ---------------------------------------------------------------------------
+
+
+def sqrt_public(x: FpArray) -> FpArray:
+    """Batched square root of public quadratic residues (undefined output for
+    non-residues; 0 -> 0).  Constant-structure Tonelli-Shanks."""
+    spec = x.spec
+    p = spec.p
+    s = spec.two_adicity
+    q = (p - 1) >> s
+    z = pow(spec.generator % p, q, p)   # order-2^s element
+    c = FpArray.from_int(spec, np.asarray(z, dtype=object))
+    c = c.broadcast_to(x.shape)
+    t = x.pow_const(q)
+    r = x.pow_const((q + 1) // 2)
+    one = FpArray.ones(spec, x.shape)
+    for i in range(s - 2, -1, -1):
+        d = t
+        for _ in range(i):
+            d = d.square()
+        flag = ~d.equals(one) & ~t.equals(one)
+        r = FpArray.select(flag, r * c, r)
+        c2 = c.square()
+        t = FpArray.select(flag, t * c2, t)
+        c = c2
+    return r
+
+
+# ---------------------------------------------------------------------------
+# randomness protocols
+# ---------------------------------------------------------------------------
+
+
+def bit_rand(key, spec: FieldSpec, shape=()) -> MpcFp:
+    """Uniform shared random bits (square-root trick, `boolean_field.rs:150`):
+    sample shared r, open r^2, b = (r/sqrt(r^2) + 1)/2."""
+    r = rand_shared(key, spec, shape)
+    r2 = (r * r).reveal()
+    # guard the (negligible) r = 0 case so sqrt/inv stay well-defined
+    zero = r2.is_zero()
+    safe = FpArray.select(zero, FpArray.ones(spec, r2.shape), r2)
+    v = sqrt_public(safe)
+    vinv = v.inv()
+    pm1 = r * MpcFp(vinv, PUBLIC)          # in {-1, +1}
+    half = pow(2, -1, spec.p)
+    halff = FpArray.from_int(spec, np.asarray(half, dtype=object))
+    b = (pm1 + MpcFp.const(spec, 1)) * MpcFp.from_public(halff)
+    return b
+
+
+def rand_number_bitwise(key, spec: FieldSpec, shape=(), attempts: int = 16):
+    """Bitwise-shared uniform value < p: returns (bits [.., nbits], value).
+
+    `attempts` candidates are generated batched; the first with value < p is
+    selected obliviously (failure probability (1 - p/2^nbits)^attempts).
+    Mirrors `boolean_field.rs:172-211` with the rejection loop flattened.
+    """
+    nbits = spec.p.bit_length()
+    bits = bit_rand(key, spec, tuple(shape) + (attempts, nbits))
+    p_bits = [(spec.p >> i) & 1 for i in range(nbits)]
+    lt = bitwise_lt_public_rhs(bits, p_bits)          # [.., attempts]
+    # select the first valid attempt: prefix products of (1-valid)
+    invalid = b_not(lt)
+    prefix = _prefix_products(invalid)                # [.., attempts]
+    # selector_i = valid_i * prod_{j<i} invalid_j
+    sel = lt * _shift_one(prefix)
+    # bits_out = sum_i sel_i * bits_i  (one Beaver round, batched)
+    sel_b = _expand_last(sel, nbits)
+    chosen = _tree_sum_axis(sel_b * bits, axis=-2)
+    value = _bits_to_field(chosen)
+    return chosen, value
+
+
+def _prefix_products(x: MpcFp) -> MpcFp:
+    """Inclusive prefix products along the last axis (log-depth, batched)."""
+    n = x.shape[-1]
+    y = x
+    d = 1
+    while d < n:
+        shifted = _shift_by(y, d)
+        y = y * shifted
+        d *= 2
+    return y
+
+
+def _shift_by(x: MpcFp, d: int) -> MpcFp:
+    """Shift along last axis filling with public 1s: y_i = x_{i-d} (i>=d)."""
+    one = MpcFp.const(x.spec, 1)
+
+    def f(fp: FpArray, fill: FpArray):
+        # align the fill's leading (party) axis, then singleton batch dims
+        lead = fill.limbs.shape[:-1]
+        nl = fp.limbs.shape[-1]
+        mid = (1,) * (fp.limbs.ndim - len(lead) - 1)
+        src = fill.limbs.reshape(lead + mid + (nl,))
+        fill_b = jnp.broadcast_to(src, fp.limbs.shape[:-2] + (d, nl))
+        return FpArray(
+            jnp.concatenate([fill_b, fp.limbs[..., :-d, :]], axis=-2),
+            fp.spec, max(fp.bound, fill.bound))
+    # shifted-in elements must be *public one*: for shares that means the
+    # leader holds 1 — reuse the promoted constant's party layout
+    from .share import _promote_to_shared
+    onep = _promote_to_shared(one) if x.is_shared() else one
+    val = f(x.value, onep.value)
+    mac = None if x.mac is None else f(x.mac, onep.mac)
+    return MpcFp(val, x.visibility, mac)
+
+
+def _shift_one(x: MpcFp) -> MpcFp:
+    return _shift_by(x, 1)
+
+
+def _expand_last(x: MpcFp, n: int) -> MpcFp:
+    def f(fp: FpArray):
+        limbs = jnp.broadcast_to(
+            fp.limbs[..., None, :],
+            fp.limbs.shape[:-1] + (n, fp.limbs.shape[-1]))
+        return FpArray(limbs, fp.spec, fp.bound)
+    return MpcFp(f(x.value), x.visibility,
+                 None if x.mac is None else f(x.mac))
+
+
+def _tree_sum_axis(x: MpcFp, axis: int) -> MpcFp:
+    assert axis == -2
+    while x.value.limbs.shape[-3] > 1:
+        n = x.value.limbs.shape[-3]
+        half = n // 2
+
+        def sl(fp, a, b):
+            return FpArray(fp.limbs[..., a:b, :, :], fp.spec, fp.bound)
+
+        def addf(fp):
+            s = FpArray(fp.limbs[..., :half, :, :], fp.spec, fp.bound)
+            t = FpArray(fp.limbs[..., half:2 * half, :, :], fp.spec, fp.bound)
+            folded = s + t
+            if n % 2:
+                rest = FpArray(fp.limbs[..., 2 * half:, :, :], fp.spec, fp.bound)
+                folded = FpArray(
+                    jnp.concatenate([folded.limbs, rest.limbs], axis=-3),
+                    fp.spec, max(folded.bound, rest.bound))
+            return folded
+        val = addf(x.value)
+        mac = None if x.mac is None else addf(x.mac)
+        x = MpcFp(val, x.visibility, mac)
+
+    def drop(fp):
+        return FpArray(fp.limbs[..., 0, :, :], fp.spec, fp.bound)
+    return MpcFp(drop(x.value), x.visibility,
+                 None if x.mac is None else drop(x.mac))
+
+
+def _bits_to_field(bits: MpcFp) -> MpcFp:
+    """[.., nbits] shared bits -> shared value sum 2^i b_i (local)."""
+    spec = bits.spec
+    nbits = bits.shape[-1]
+    pows = FpArray.from_int(
+        spec, np.asarray([pow(2, i, spec.p) for i in range(nbits)],
+                         dtype=object))
+    scaled = bits * MpcFp.from_public(pows)
+    return _sum_last(scaled)
+
+
+def _sum_last(x: MpcFp) -> MpcFp:
+    from .share import _sum_last_axis
+    mac = None if x.mac is None else _sum_last_axis(x.mac)
+    return MpcFp(_sum_last_axis(x.value), x.visibility, mac)
+
+
+# ---------------------------------------------------------------------------
+# comparisons over bit-shared values
+# ---------------------------------------------------------------------------
+
+
+def bitwise_lt(a_bits: MpcFp, b_bits: MpcFp) -> MpcFp:
+    """[a < b] for little-endian bit vectors [.., n] (shared or public).
+
+    MSB prefix-or comparator (`boolean_field.rs:108-148`): find the highest
+    differing bit, answer is b's bit there.
+    """
+    x = b_xor(a_bits, b_bits)
+    # suffix-or from MSB: s_i = OR_{j >= i} x_j  (on little-endian layout)
+    s = _suffix_or(x)
+    # leading-diff indicator: e_i = s_i - s_{i+1} (1 only at the top diff)
+    s_up = _shift_down_zero(s)           # s_{i+1}, 0 beyond MSB
+    e = s - s_up
+    return _sum_last(e * b_bits)
+
+
+def bitwise_lt_public_rhs(a_bits: MpcFp, b_bits_ints) -> MpcFp:
+    """[a < b] where b is a public little-endian int bit list."""
+    spec = a_bits.spec
+    b = MpcFp.from_public(FpArray.from_int(
+        spec, np.asarray(b_bits_ints, dtype=object)))
+    return bitwise_lt(a_bits, b)
+
+
+def _suffix_or(x: MpcFp) -> MpcFp:
+    """s_i = OR_{j>=i} x_j along the last axis (log-depth)."""
+    n = x.shape[-1]
+    y = x
+    d = 1
+    while d < n:
+        shifted = _shift_down_zero(y, d)
+        y = b_or(y, shifted)
+        d *= 2
+    return y
+
+
+def _shift_down_zero(x: MpcFp, d: int = 1) -> MpcFp:
+    """y_i = x_{i+d}, zero-filled at the top (zeros are plain zeros for both
+    public and shared wires)."""
+    def f(fp: FpArray):
+        z = jnp.zeros_like(fp.limbs[..., :d, :])
+        return FpArray(jnp.concatenate([fp.limbs[..., d:, :], z], axis=-2),
+                       fp.spec, fp.bound)
+    return MpcFp(f(x.value), x.visibility,
+                 None if x.mac is None else f(x.mac))
+
+
+# ---------------------------------------------------------------------------
+# equality-zero / bit decomposition / less-than
+# ---------------------------------------------------------------------------
+
+
+def equality_zero(x: MpcFp, key, attempts: int = 16) -> MpcFp:
+    """[x == 0] as a shared bit (`wire/field.rs:611-667`): open c = x + r with
+    bitwise-shared r; x == 0 iff c == r bitwise; AND-tree the XNORs."""
+    spec = x.spec
+    nbits = spec.p.bit_length()
+    r_bits, r_val = rand_number_bitwise(key, spec, x.shape, attempts)
+    c = (x + r_val).reveal()
+    c_bits_pub = _public_bits(c, nbits)          # [.., nbits] 0/1 floats? ints
+    # XNOR(c_i, r_i) = c_i*r_i + (1-c_i)*(1-r_i); c public
+    xnor = _public_xnor(c_bits_pub, r_bits)
+    return kary_and(xnor)
+
+
+def _public_bits(c: FpArray, nbits: int) -> FpArray:
+    """Public field values -> 0/1 field elements of their canonical bits."""
+    limbs = c.int_limbs()
+    shifts = jnp.arange(LIMB_W, dtype=jnp.uint32)
+    bits = (limbs[..., :, None] >> shifts) & 1
+    bits = bits.reshape(bits.shape[:-2] + (-1,))[..., :nbits]
+    # embed 0/1 ints into Montgomery form: select(one, zero)
+    one = jnp.asarray(c.spec.one_limbs)
+    sel = (bits > 0)[..., None]
+    out = jnp.where(sel, one, jnp.zeros_like(one))
+    return FpArray(out, c.spec, 1)
+
+
+def _public_xnor(c_bits: FpArray, r_bits: MpcFp) -> MpcFp:
+    """XNOR of public bits with shared bits: affine per bit."""
+    cb = MpcFp(c_bits, PUBLIC)
+    # xnor = c*r + (1-c)*(1-r) = 1 - c - r + 2cr ; with c public this is affine
+    one = MpcFp.const(r_bits.spec, 1)
+    return one - cb - r_bits + (cb * r_bits).smul(2)
+
+
+def is_smaller_or_equal_than_mod_minus_one_div_two(x: MpcFp, key,
+                                                    attempts: int = 16) -> MpcFp:
+    """[x <= (p-1)/2] (signed: [x >= 0]; `wire/field.rs:250-284`): x <= h iff
+    2x mod p is even; LSB(y) via open c = y + r: lsb = c_0 xor r_0 xor [c < r]."""
+    spec = x.spec
+    nbits = spec.p.bit_length()
+    y = x.smul(2)
+    r_bits, r_val = rand_number_bitwise(key, spec, x.shape, attempts)
+    c = (y + r_val).reveal()
+    c_bits = _public_bits(c, nbits)
+    wrap = bitwise_lt(MpcFp(c_bits, PUBLIC), r_bits)   # [c < r] as shared bit
+    c0 = MpcFp(FpArray(c_bits.limbs[..., 0, :], spec, c_bits.bound), PUBLIC)
+    r0 = _index_last(r_bits, 0)
+    lsb = _xor3(c0, r0, wrap)
+    return b_not(lsb)
+
+
+def _xor3(a: MpcFp, b: MpcFp, c: MpcFp) -> MpcFp:
+    return b_xor(b_xor(a, b), c)
+
+
+def less_than(x: MpcFp, y: MpcFp, key, attempts: int = 16) -> MpcFp:
+    """[x < y] as a shared bit under the *signed* interpretation of field
+    elements (values in (-p/2, p/2]; matches the reference's SmallerThan,
+    `wire/field.rs:287-306`): combine three half-range tests."""
+    import jax as _jax
+    k1, k2, k3 = _jax.random.split(key, 3)
+    a = is_smaller_or_equal_than_mod_minus_one_div_two(x, k1, attempts)
+    b = is_smaller_or_equal_than_mod_minus_one_div_two(y, k2, attempts)
+    cbit = is_smaller_or_equal_than_mod_minus_one_div_two(x - y, k3, attempts)
+    # [x < y] = a*b*(1-c) + a*(1-b)*0 + (1-a)*b*1 + (1-a)*(1-b)*(1-c)
+    #         = b*(1-c) + (1-a)*(b + (1-b)*(1-c)) ... expand directly:
+    one = MpcFp.const(x.spec, 1)
+    nc = one - cbit
+    na = one - a
+    nb = one - b
+    t1 = a * b * nc
+    t2 = na * b
+    t3 = na * nb * nc
+    return t1 + t2 + t3
+
+
+def bit_decomposition(x: MpcFp, key, attempts: int = 16) -> MpcFp:
+    """Shared little-endian bits [.., nbits] of shared x
+    (`wire/field.rs:669-763`, DPSZ-style).
+
+    Open c = x - r (r bitwise-shared); then x = c + r mod p, so the bits of x
+    are the bits of the integer sum c + r, minus p when the sum wraps.  We
+    compute the shared binary addition with a carry-lookahead network, detect
+    p <= sum via bitwise comparison, and subtract p bitwise (a second binary
+    addition with the public constant 2^nbits+... - p), selecting with the
+    wrap bit.
+    """
+    spec = x.spec
+    nbits = spec.p.bit_length()
+    r_bits, r_val = rand_number_bitwise(key, spec, x.shape, attempts)
+    c = (x - r_val).reveal()
+    c_bits = _public_bits(c, nbits)
+    # sum = c + r over the integers: nbits+1 bits
+    s_bits = _bin_add_public(c_bits, r_bits, nbits)      # [.., nbits+1]
+    # wrap iff sum >= p  <=>  NOT (sum < p) over nbits+1 bits
+    p_bits = [(spec.p >> i) & 1 for i in range(nbits + 1)]
+    lt_p = bitwise_lt_public_rhs(s_bits, p_bits)
+    wrap = b_not(lt_p)
+    # subtract p: add the constant 2^(nbits+1) - p and drop the top carry
+    kconst = (1 << (nbits + 1)) - spec.p
+    k_bits = [(kconst >> i) & 1 for i in range(nbits + 1)]
+    k_fp = MpcFp.from_public(FpArray.from_int(
+        spec, np.asarray(k_bits, dtype=object)))
+    diff_bits = _bin_add_shared_public(s_bits, k_fp, nbits + 1)  # [.., nbits+2]
+    diff_bits = _slice_last(diff_bits, 0, nbits + 1)
+    out = []
+    w = _expand_last(wrap, nbits)
+    sel = _slice_last(diff_bits, 0, nbits)
+    uns = _slice_last(s_bits, 0, nbits)
+    return uns + w * (sel - uns)
+
+
+def _bin_add_public(c_bits: FpArray, r_bits: MpcFp, nbits: int) -> MpcFp:
+    """Binary addition of public bits c and shared bits r -> [.., nbits+1]."""
+    return _bin_add_shared_public(r_bits, MpcFp(c_bits, PUBLIC), nbits)
+
+
+def _bin_add_shared_public(a_bits: MpcFp, b_bits: MpcFp, nbits: int) -> MpcFp:
+    """Bitwise binary addition (either side shared), carry-lookahead in
+    log-depth (`wire/field.rs` BitAdd/carries).  Output has nbits+1 bits."""
+    # generate g = a*b, propagate q = a + b - 2ab (xor)
+    g = b_and(a_bits, b_bits)
+    q = b_xor(a_bits, b_bits)
+    # parallel prefix on (g, q): (g2, q2) o (g1, q1) = (g2 + q2*g1, q2*q1)
+    # carries into position i+1 = prefix over [0..i]
+    G, Q = g, q
+    d = 1
+    n = nbits
+    while d < n:
+        G_sh = _shift_by_zero(G, d)
+        Q_sh = _shift_by_zero(Q, d, fill_one=True)
+        G = G + Q * G_sh
+        Q = Q * Q_sh
+        d *= 2
+    carries_in = _shift_one_zero(G)       # carry into bit i (0 for i=0)
+    s = _xor3(a_bits, b_bits, carries_in)
+    top_carry = _index_last(G, nbits - 1)
+    return _concat_last(s, _unsqueeze_last(top_carry))
+
+
+def _shift_by_zero(x: MpcFp, d: int, fill_one: bool = False) -> MpcFp:
+    if fill_one:
+        return _shift_by(x, d)  # fills with public ones
+    def f(fp: FpArray):
+        z = jnp.zeros_like(fp.limbs[..., :d, :])
+        return FpArray(jnp.concatenate([z, fp.limbs[..., :-d, :]], axis=-2),
+                       fp.spec, fp.bound)
+    return MpcFp(f(x.value), x.visibility,
+                 None if x.mac is None else f(x.mac))
+
+
+def _shift_one_zero(x: MpcFp) -> MpcFp:
+    return _shift_by_zero(x, 1)
+
+
+def _unsqueeze_last(x: MpcFp) -> MpcFp:
+    def f(fp: FpArray):
+        return FpArray(fp.limbs[..., None, :], fp.spec, fp.bound)
+    return MpcFp(f(x.value), x.visibility,
+                 None if x.mac is None else f(x.mac))

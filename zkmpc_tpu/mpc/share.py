@@ -264,9 +264,29 @@ class MpcFp:
         nd = self.value.ndim  # batch dims (+party dim in stacked layout)
         return t.party_index(nd - 1 if t.kind == "stacked" else nd) == 0
 
+    def _aligned(self, other):
+        """Insert singleton batch axes after the party axis so that wires of
+        different batch rank broadcast (e.g. scalar const + vector share)."""
+        lead = 1 if T.current().kind == "stacked" else 0
+        ra = self.value.ndim - lead
+        rb = other.value.ndim - lead
+        rank = max(ra, rb)
+
+        def fix(w: MpcFp, r):
+            if r >= rank:
+                return w
+
+            def rs(f: FpArray):
+                shp = f.limbs.shape
+                new = shp[:lead] + (1,) * (rank - r) + shp[lead:]
+                return FpArray(f.limbs.reshape(new), f.spec, f.bound)
+            return MpcFp(rs(w.value), w.visibility,
+                         None if w.mac is None else rs(w.mac))
+        return fix(self, ra), fix(other, rb)
+
     def __add__(self, other):
         other = _coerce(other, self.spec)
-        a, b = self, other
+        a, b = self._aligned(other)
         if a.visibility == b.visibility == PUBLIC:
             return MpcFp(a.value + b.value, PUBLIC)
         if a.visibility == PUBLIC:
@@ -295,7 +315,7 @@ class MpcFp:
 
     def __mul__(self, other):
         other = _coerce(other, self.spec)
-        a, b = self, other
+        a, b = self._aligned(other)
         if a.visibility == b.visibility == PUBLIC:
             return MpcFp(a.value * b.value, PUBLIC)
         if a.visibility == PUBLIC:
@@ -412,9 +432,33 @@ class DummyTripleSource(TripleSource):
         return a, a, a
 
     def inv_pairs(self, spec, shape):
-        one = _promote_to_shared(MpcFp.const(spec, 1))
         a, _, _ = self.field_triples(spec, shape)
         return a, a
+
+    def group_triples(self, P, scalar_spec):
+        """Group triple (a, B, C=a*B) with a=1 and B=the group generator
+        (leader-held share); batch shape matches P.  INSECURE placeholder
+        mirroring `DummyGroupTripleSource` (`wire/group.rs:36-71`)."""
+        from ..ops import msm as _M
+        from ..ops.curve import SWPoint
+        from ..ops.fp2 import Fp2Array
+        from ..spec import curves as _SC
+        from .group import MpcSWPoint
+
+        t = T.current()
+        a, _, _ = self.field_triples(scalar_spec, P.shape)
+        # generator of the matching group, broadcast to the party layout
+        if isinstance(P.point.x, Fp2Array):
+            gen = SWPoint.g2_from_affine_ints([_SC.G2_GEN])
+        else:
+            gen = SWPoint.g1_from_affine_ints([_SC.G1_GEN])
+        gen = _M._bcast_sw(gen[0], P.point.shape)
+        # leader holds the generator, others hold infinity
+        mask = jnp.broadcast_to(t.party_index(len(P.shape)) == 0, P.point.shape)
+        from ..ops.curve import SWPoint as _SW
+        inf = _SW.infinity_like(gen)
+        Bp = MpcSWPoint(_SW.select(mask, gen, inf), SHARED)
+        return a, Bp, Bp
 
 
 def beaver_mul(x: MpcFp, y: MpcFp) -> MpcFp:
@@ -436,6 +480,23 @@ def beaver_inv(x: MpcFp) -> MpcFp:
     r, rinv = c.triple_source.inv_pairs(x.spec, x.shape)
     xr = (x * r).reveal()
     return r * MpcFp(xr.inv(), PUBLIC)
+
+
+def rand_shared(key, spec: FieldSpec, shape=()) -> MpcFp:
+    """Fresh random shared value: each party samples an independent share
+    (sum of uniform shares is uniform).  Semi-honest backend only — the SPDZ
+    backend must draw randomness from preprocessing (pairs/triples) to get
+    MACs (reference `preprocessing.rs:823`)."""
+    c = ctx()
+    t = c.transport
+    if c.backend != "semi":
+        raise NotImplementedError("spdz randomness comes from preprocessing pairs")
+    if t.kind == "stacked":
+        sh = R.uniform_fp(key, spec, (t.n_parties,) + tuple(shape))
+    else:
+        k = R.party_fold(key, jax.lax.axis_index(t.axis_name))
+        sh = R.uniform_fp(k, spec, shape)
+    return MpcFp(sh, SHARED)
 
 
 # ---------------------------------------------------------------------------
@@ -481,6 +542,8 @@ def king_share(value: FpArray, key) -> MpcFp:
 
 
 def _sum_axis0(x: FpArray) -> FpArray:
+    if x.shape[0] == 0:
+        return FpArray.zeros(x.spec, x.shape[1:])
     acc = x[0]
     for i in range(1, x.shape[0]):
         acc = acc + x[i]

@@ -94,6 +94,7 @@ class FieldSpec:
         self.pprime_limbs = int_to_limbs(self.pprime, n)
         self.one_limbs = int_to_limbs(self.r_mod_p, n)  # Montgomery repr of 1
         self.int_one_limbs = int_to_limbs(1, n)         # raw integer 1
+        self.r2_limbs = int_to_limbs(self.r2, n)        # R^2 mod p
 
         # Max product of input bounds for a single Montgomery multiply:
         # need bound_a*bound_b*p <= R/2 so the REDC output stays below 2p.
@@ -176,40 +177,62 @@ def _resolve2(cols):
 
 @functools.lru_cache(maxsize=None)
 def _conv_matrix(na: int, nb: int, total: int):
-    """0/1 matrix [2*na*nb, total] mapping outer-product (i,j) lo/hi parts to
-    their column k = i+j (lo) and k = i+j+1 (hi)."""
-    t = np.zeros((2 * na * nb, total), dtype=np.float32)
+    """0/1 int8 matrix [4*na*nb, 2*total] for the byte-plane convolution.
+
+    Input rows are the four byte planes of each outer product a_i*b_j
+    (= lo15 & 0xff, lo15 >> 8, hi16 & 0xff, hi16 >> 8 where
+    p = lo15 + 2^15 hi16); output columns are two blocks of ``total``:
+    weight-1 contributions and weight-2^8 contributions.
+    """
+    nn = na * nb
+    t = np.zeros((4 * nn, 2 * total), dtype=np.int8)
     for i in range(na):
         for j in range(nb):
-            if i + j < total:
-                t[i * nb + j, i + j] = 1.0
-            if i + j + 1 < total:
-                t[na * nb + i * nb + j, i + j + 1] = 1.0
+            r = i * nb + j
+            k_lo, k_hi = i + j, i + j + 1
+            if k_lo < total:
+                t[0 * nn + r, k_lo] = 1          # l0 -> weight 1
+                t[1 * nn + r, total + k_lo] = 1  # l1 -> weight 2^8
+            if k_hi < total:
+                t[2 * nn + r, k_hi] = 1          # h0 -> weight 1
+                t[3 * nn + r, total + k_hi] = 1  # h1 -> weight 2^8
     return t
 
 
 def _conv_cols(a, b, nout=None):
     """Column sums of the limb convolution of a [...,na] and b [...,nb].
 
-    Inputs must have limbs <= B+1.  Output columns < 2*min(na,nb)*2^16 < 2**23.
+    Inputs must have limbs <= B+1.  Output columns < 2*min(na,nb)*2^16 < 2**24.
     ``nout`` truncates to the low ``nout`` columns (for mod-R half products).
 
-    Implemented as one exact f32 matmul: the lo/hi split keeps every value
-    below 2^16 (f32-exact) and every column sum below 2^23 (f32-exact), so the
-    whole schoolbook convolution rides the MXU.
+    Implemented as one *exact* u8 x s8 -> s32 matmul (the TPU MXU's native
+    int8 path; f32 matmuls on TPU are bf16-decomposed and NOT exact for our
+    magnitudes): each outer product splits into four byte planes, the 0/1
+    matrix routes them to weight-1 / weight-256 column blocks, and the two
+    blocks recombine with one shift-add.
     """
     na = a.shape[-1]
     nb = b.shape[-1]
     total = na + nb if nout is None else nout
     outer = a[..., :, None] * b[..., None, :]          # u32, exact (<2^31)
-    lo = (outer & MASK).astype(jnp.float32)
-    hi = (outer >> W).astype(jnp.float32)
+    lo15 = outer & MASK
+    hi16 = outer >> W
+    batch = outer.shape[:-2]
+    nn = na * nb
+
+    def plane(x, shift):
+        return ((x >> shift) & 0xFF).astype(jnp.uint8).reshape(batch + (nn,))
+
     flat = jnp.concatenate(
-        [lo.reshape(lo.shape[:-2] + (na * nb,)),
-         hi.reshape(hi.shape[:-2] + (na * nb,))], axis=-1)
-    t = jnp.asarray(_conv_matrix(na, nb, total))
-    cols = jnp.dot(flat, t, preferred_element_type=jnp.float32)
-    return cols.astype(_U32)
+        [plane(lo15, 0), plane(lo15, 8), plane(hi16, 0), plane(hi16, 8)],
+        axis=-1)                                        # [..., 4nn] u8
+    t = _conv_matrix(na, nb, total)
+    blocks = jax.lax.dot_general(
+        flat, t, (((flat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)               # [..., 2*total] s32
+    w0 = blocks[..., :total].astype(_U32)
+    w1 = blocks[..., total:].astype(_U32)
+    return w0 + (w1 << 8)
 
 
 def _mont_mul_limbs(spec: FieldSpec, a, b):
@@ -533,3 +556,20 @@ class FpArray:
 
     def __repr__(self):
         return f"FpArray({self.spec.name}, shape={self.shape}, bound={self.bound})"
+
+
+def fp_from_u32(spec: FieldSpec, vals) -> FpArray:
+    """Device u32 values (< 2^30) -> Montgomery-form FpArray (batched)."""
+    vals = jnp.asarray(vals, dtype=_U32)
+    n = spec.nlimbs
+    raw = jnp.zeros(vals.shape + (n,), dtype=_U32)
+    raw = raw.at[..., 0].set(vals & MASK)
+    raw = raw.at[..., 1].set((vals >> W) & MASK)
+    out = _mont_mul_limbs(spec, raw, jnp.asarray(spec.r2_limbs))
+    return FpArray(out, spec, 2)
+
+
+def fp_geq_const(x_int_limbs, spec: FieldSpec, k: int):
+    """x >= k for canonical integer limbs (from int_limbs()) vs a host int."""
+    kl = jnp.asarray(int_to_limbs(k, spec.nlimbs))
+    return _geq(x_int_limbs, kl)

@@ -32,7 +32,14 @@ def _bcast_sw(points: SWPoint, shape) -> SWPoint:
 
 
 def sw_msm(points: SWPoint, scalars: FpArray, nbits: int | None = None) -> SWPoint:
-    """points: [N] (or broadcastable), scalars: [..., N] -> SWPoint [...]."""
+    """points: [N] (or broadcastable), scalars: [..., N] -> SWPoint [...].
+
+    Dispatches to the bucketed Pippenger kernel for nontrivial sizes; tiny
+    inputs use the simple ladder (less fixed overhead, simpler graph)."""
+    N = scalars.shape[-1]
+    if N >= 16 and len(points.shape) == 1:
+        from .msm_pippenger import sw_msm_bucketed
+        return sw_msm_bucketed(points, scalars, nbits=nbits)
     shape = scalars.shape
     pts = _bcast_sw(points, shape)
     prods = sw_scalar_mul(pts, scalars, nbits)
@@ -40,21 +47,42 @@ def sw_msm(points: SWPoint, scalars: FpArray, nbits: int | None = None) -> SWPoi
 
 
 def _sw_reduce_last(p: SWPoint) -> SWPoint:
-    def take(q, sl):
-        return SWPoint(
-            _coord_slice(q.x, sl), _coord_slice(q.y, sl), _coord_slice(q.z, sl),
-            q.inf[..., sl])
-    while p.shape[-1] > 1:
-        n = p.shape[-1]
-        half = n // 2
-        a = take(p, slice(0, half))
-        b = take(p, slice(half, 2 * half))
-        folded = sw_add_complete(a, b)
-        if n % 2:
-            rest = take(p, slice(2 * half, n))
-            folded = SWPoint.concat([folded, rest], axis=-1)
-        p = folded
-    return take(p, 0)
+    """Fold the last batch axis with complete adds.
+
+    Fixed-width masked tree inside one fori_loop (a single add_complete in
+    the traced graph) instead of log-n inlined copies — keeps XLA compile
+    times sane for deep reductions."""
+    import jax
+
+    from .curve import _point_bound2
+
+    n = p.shape[-1]
+    if n == 1:
+        return _take_last(p, 0)
+    log = (n - 1).bit_length()
+    iota = jnp.arange(n)
+    p = _point_bound2(p.tighten())
+    inf = _point_bound2(SWPoint.infinity_like(p))
+
+    def body(k, x):
+        d = jnp.left_shift(1, k)
+        rolled = jax.tree_util.tree_map(
+            lambda leaf: jnp.roll(leaf, -d, axis=(-2 if leaf.dtype == jnp.uint32
+                                                  else -1)), x)
+        valid = (iota + d) < n
+        rolled = SWPoint.select(jnp.broadcast_to(valid, x.inf.shape),
+                                rolled, inf)
+        out = sw_add_complete(x, rolled)
+        return _point_bound2(SWPoint(out.x.tighten(), out.y.tighten(),
+                                     out.z.tighten(), out.inf))
+
+    folded = jax.lax.fori_loop(0, log, body, p)
+    return _take_last(folded, 0)
+
+
+def _take_last(p: SWPoint, i) -> SWPoint:
+    return SWPoint(_coord_slice(p.x, i), _coord_slice(p.y, i),
+                   _coord_slice(p.z, i), p.inf[..., i])
 
 
 def _coord_slice(f, sl):

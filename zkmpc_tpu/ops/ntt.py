@@ -73,7 +73,9 @@ class Domain:
         omega, omega_inv, n_inv, g, g_inv, rev = _domain_tables(spec, n)
         self.omega, self.omega_inv, self.n_inv = omega, omega_inv, n_inv
         self.coset_gen = g
-        self._rev = jnp.asarray(rev)
+        # host numpy (NOT jnp): this object is cached across jit traces and a
+        # device array created inside a trace would leak a tracer
+        self._rev = rev
         p = spec.p
         # per-stage twiddles: stage s has block size m=2^(s+1), uses
         # w = omega^(n/m) and powers w^0..w^(m/2-1)

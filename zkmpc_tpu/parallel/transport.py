@@ -29,10 +29,36 @@ import jax
 import jax.numpy as jnp
 
 
+class CommStats:
+    """Per-transport collective accounting, the analogue of the reference's
+    `Stats`/atomic byte counters (`mpc-net/src/lib.rs:35-42`,
+    `multi.rs:527-536`).  Counted at trace time: one entry per collective in
+    the compiled program (rounds) plus the payload bytes each moves."""
+
+    def __init__(self):
+        self.rounds = 0
+        self.bytes_moved = 0
+
+    def record(self, x):
+        self.rounds += 1
+        import numpy as _np
+        self.bytes_moved += int(_np.prod(x.shape, dtype=_np.int64)) * x.dtype.itemsize
+
+    def reset(self):
+        self.rounds = 0
+        self.bytes_moved = 0
+
+    def __repr__(self):
+        return f"CommStats(rounds={self.rounds}, bytes={self.bytes_moved})"
+
+
 class Transport:
     """Interface for the party-collective layer."""
 
     n_parties: int
+
+    def __init__(self):
+        self.stats = CommStats()
 
     def psum(self, x):
         """Sum an identically-shaped array over all parties."""
@@ -49,10 +75,6 @@ class Transport:
     def leader_mask(self, batch_ndim: int):
         return self.party_index(batch_ndim) == 0
 
-    def bytes_opened(self):
-        """Comm accounting hook (reference `multi.rs:527-536`)."""
-        return 0
-
 
 class StackedTransport(Transport):
     """All parties stacked on a leading axis of every tensor (single device)."""
@@ -60,14 +82,17 @@ class StackedTransport(Transport):
     kind = "stacked"
 
     def __init__(self, n_parties: int):
+        super().__init__()
         self.n_parties = n_parties
 
     def psum(self, x):
+        self.stats.record(x)
         s = jnp.sum(x, axis=0, keepdims=True)
         return jnp.broadcast_to(s, x.shape)
 
     def all_gather(self, x):
         # x: [P, batch...] -> [P, P, batch...] (every party sees all shares)
+        self.stats.record(x)
         return jnp.broadcast_to(x[None], (self.n_parties,) + x.shape)
 
     def party_index(self, batch_ndim: int):
@@ -81,13 +106,16 @@ class MeshTransport(Transport):
     kind = "mesh"
 
     def __init__(self, n_parties: int, axis_name: str = "parties"):
+        super().__init__()
         self.n_parties = n_parties
         self.axis_name = axis_name
 
     def psum(self, x):
+        self.stats.record(x)
         return jax.lax.psum(x, self.axis_name)
 
     def all_gather(self, x):
+        self.stats.record(x)
         return jax.lax.all_gather(x, self.axis_name, axis=0)
 
     def party_index(self, batch_ndim: int):

@@ -1,0 +1,176 @@
+"""KZG10 polynomial commitments over BLS12-377 (the Marlin backbone).
+
+Mirrors the reference's vendored ark poly-commit KZG10
+(`arkworks/poly-commit/src/kzg10/mod.rs:142,295`): commitments are MSMs of
+the SRS powers with polynomial coefficients — run generically over *shared*
+coefficients (the collaborative-Marlin hot loop, SURVEY.md §3.1) — and opening
+proofs are witness-polynomial commitments.
+
+TPU-first twist: the witness polynomial (p(X) - p(z))/(X - z) is computed by
+*pointwise division on an evaluation domain* (one NTT + batched Fermat
+inverse + inverse NTT) instead of sequential synthetic division, so shared
+polynomials never leave batched tensor form.
+
+Setup and pairing verification are host-side spec code (like Groth16's).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random as pyrandom
+
+import numpy as np
+
+from .. import params
+from ..mpc.share import MpcFp, PUBLIC, SHARED
+from ..mpc.group import MpcSWPoint, mpc_msm
+from ..ops.curve import SWPoint
+from ..ops.limbs import FR, FpArray
+from ..ops.ntt import Domain
+from ..spec import curves as SC
+from ..spec import pairing as SP
+
+R = params.FR_MODULUS
+
+
+@dataclasses.dataclass
+class KzgSrs:
+    powers: list                    # [(x, y)] G1 powers of tau, length d+1
+    g2: tuple                       # h
+    beta_g2: tuple                  # tau * h
+
+    def device(self):
+        return DeviceKzgSrs(self)
+
+
+class DeviceKzgSrs:
+    def __init__(self, srs: KzgSrs):
+        self.srs = srs
+        self.powers = SWPoint.g1_from_affine_ints(srs.powers)
+
+
+def setup(max_degree: int, seed: int = 0) -> KzgSrs:
+    rng = pyrandom.Random(seed)
+    tau = rng.randrange(1, R)
+    g1, g2 = SC.G1_GEN, SC.G2_GEN
+    powers = []
+    acc = 1
+    for _ in range(max_degree + 1):
+        powers.append(SC.g1_mul(g1, acc))
+        acc = acc * tau % R
+    return KzgSrs(powers, g2, SC.g2_mul(g2, tau))
+
+
+def commit(srs: DeviceKzgSrs, coeffs: MpcFp) -> MpcSWPoint:
+    """coeffs: [..., d] (shared or public) -> commitment point(s)."""
+    d = coeffs.shape[-1]
+    assert d <= len(srs.srs.powers)
+    bases = srs.powers[0:d]
+    return mpc_msm(bases, coeffs)
+
+
+def evaluate(coeffs: MpcFp, z: FpArray) -> MpcFp:
+    """p(z) for public z, shared coeffs: powers of z dot coeffs (local)."""
+    d = coeffs.shape[-1]
+    pows = _pow_vector(z, d)
+    scaled = coeffs * MpcFp.from_public(pows)
+    from ..mpc.share import _sum_last_axis
+    mac = None if scaled.mac is None else _sum_last_axis(scaled.mac)
+    return MpcFp(_sum_last_axis(scaled.value), scaled.visibility, mac)
+
+
+def _pow_vector(z: FpArray, d: int) -> FpArray:
+    """[1, z, z^2, ..., z^(d-1)] via log-depth doubling products."""
+    import jax.numpy as jnp
+    out = FpArray.ones(z.spec, (1,))
+    cur = z.reshape((1,)) if z.shape == () else z.reshape((1,))
+    while out.shape[0] < d:
+        k = out.shape[0]
+        # out[k:2k] = out[:k] * z^k ; z^k = cur
+        nxt = out * cur
+        out = FpArray.concat([out, nxt], axis=0)
+        cur = (cur * cur)
+    return FpArray(out.limbs[:d], out.spec, out.bound)
+
+
+def open_at(srs: DeviceKzgSrs, coeffs: MpcFp, z: FpArray,
+            domain_n: int | None = None):
+    """Opening proof at public z: returns (witness commitment MpcSWPoint,
+    claimed value MpcFp).
+
+    Witness poly w(X) = (p(X) - p(z))/(X - z) computed pointwise on a
+    power-of-two domain of size >= deg+1 (z is sampled from the whole field,
+    so z is outside the domain w.h.p.; a malicious challenge equal to a domain
+    point would only cause a division blow-up caught by verification).
+    """
+    d = coeffs.shape[-1]
+    n = domain_n or _next_pow2(d)
+    dom = Domain(FR, n)
+    v = evaluate(coeffs, z)
+    padded = _pad_to(coeffs, n)
+    evals = _apply(padded, dom.fft)
+    # denominators: omega^i - z (public)
+    omegas = FpArray.from_int(
+        FR, np.asarray([pow(dom.omega, i, R) for i in range(n)], dtype=object))
+    den = omegas - z
+    den_inv = den.inv()
+    num = evals - _broadcast_scalar(v, n)
+    w_evals = num * MpcFp.from_public(den_inv)
+    w_coeffs = _apply(w_evals, dom.ifft)
+    w_commit = commit(srs, _slice(w_coeffs, d))
+    return w_commit, v
+
+
+def verify_open(srs: KzgSrs, commitment, z_int: int, v_int: int, proof) -> bool:
+    """Host pairing check: e(C - v g, h) == e(W, beta h - z h)."""
+    c_minus_v = SC.g1_add(commitment, SC.g1_neg(SC.g1_mul(SC.G1_GEN, v_int)))
+    rhs_g2 = SC.g2_add(srs.beta_g2, SC.g2_neg(SC.g2_mul(srs.g2, z_int)))
+    return SP.product_pairing_is_one([
+        (c_minus_v, srs.g2),
+        (SC.g1_neg(proof), rhs_g2),
+    ])
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _next_pow2(d):
+    n = 1
+    while n < d:
+        n <<= 1
+    return n
+
+
+def _apply(x: MpcFp, fn) -> MpcFp:
+    mac = None if x.mac is None else fn(x.mac)
+    return MpcFp(fn(x.value), x.visibility, mac)
+
+
+def _pad_to(x: MpcFp, n: int) -> MpcFp:
+    import jax.numpy as jnp
+    d = x.shape[-1]
+    if d == n:
+        return x
+
+    def f(fp: FpArray):
+        pad = jnp.zeros(fp.limbs.shape[:-2] + (n - d, fp.limbs.shape[-1]),
+                        jnp.uint32)
+        return FpArray(jnp.concatenate([fp.limbs, pad], axis=-2),
+                       fp.spec, fp.bound)
+    return _apply(x, f)
+
+
+def _slice(x: MpcFp, d: int) -> MpcFp:
+    def f(fp: FpArray):
+        return FpArray(fp.limbs[..., :d, :], fp.spec, fp.bound)
+    return _apply(x, f)
+
+
+def _broadcast_scalar(v: MpcFp, n: int) -> MpcFp:
+    import jax.numpy as jnp
+
+    def f(fp: FpArray):
+        limbs = jnp.broadcast_to(fp.limbs[..., None, :],
+                                 fp.limbs.shape[:-1] + (n, fp.limbs.shape[-1]))
+        return FpArray(limbs, fp.spec, fp.bound)
+    return _apply(v, f)

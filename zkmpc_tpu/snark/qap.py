@@ -27,8 +27,9 @@ class DeviceMatrix:
 
     def __init__(self, spec, rows, cols, coeffs_int, n_rows, max_row_nnz):
         self.spec = spec
-        self.rows = jnp.asarray(rows, dtype=jnp.int32)
-        self.cols = jnp.asarray(cols, dtype=jnp.int32)
+        # host numpy: instances may be cached/reused across jit traces
+        self.rows = np.asarray(rows, dtype=np.int32)
+        self.cols = np.asarray(cols, dtype=np.int32)
         self.coeffs = FpArray.from_int(spec, np.asarray(coeffs_int, dtype=object))
         self.n_rows = n_rows
         self.max_row_nnz = max_row_nnz

@@ -83,6 +83,24 @@ class ConstraintSystem:
         self._witness_vals.append(value)
         return ~idx  # witness indices are encoded as negative (bitwise-not)
 
+    def new_witness_vec(self, values: MpcFp) -> list[int]:
+        """Allocate a whole batched wire tensor [n] as n witness variables.
+        This is the TPU-first allocation path: one tensor, one (batched)
+        protocol round for the ops that produced it — instead of n scalar
+        wires each paying their own round (the reference's per-value cost)."""
+        (n,) = values.shape
+        start = self.num_witness
+        self.num_witness += n
+        self._witness_vals.append(values)
+        return [~(start + i) for i in range(n)]
+
+    def new_instance_vec(self, values: MpcFp) -> list[int]:
+        (n,) = values.shape
+        start = self.num_instance
+        self.num_instance += n
+        self._instance_vals.append(values)
+        return list(range(start, start + n))
+
     # witness var encoding: use negative ints so instance renumbering is easy
     def _col(self, var: int) -> int:
         if var >= 0:
@@ -120,7 +138,7 @@ class ConstraintSystem:
         """z = [1, instance..., witness...] as one shared MpcFp [num_vars]."""
         one = MpcFp.const(self.spec, 1)
         wires = [one] + self._instance_vals + self._witness_vals
-        wires = [w.reshape(1) for w in wires]
+        wires = [w.reshape(-1) for w in wires]
         z = MpcFp.concat(wires, axis=0)
         if z.visibility == PUBLIC:
             z = _promote_to_shared(z)
@@ -131,19 +149,28 @@ class ConstraintSystem:
         vals = [1]
         for w in self._instance_vals:
             assert w.visibility == PUBLIC, "instance wires must be public"
-            v = w.value.to_ints().reshape(-1)
-            vals.append(int(v[0]) if v.shape else int(v[()]))
+            v = np.asarray(w.value.to_ints()).reshape(-1)
+            lead = 0
+            from ..parallel import transport as T
+            if T.current().kind == "stacked":
+                # replicated across parties; take party 0's copy
+                per = v.size // T.current().n_parties
+                v = v[:per]
+            vals.extend(int(x) for x in v)
         return vals
 
     # ----------------------------------------------------------- evaluation
 
     def is_satisfied_ints(self) -> bool:
         """Host-side sanity check: reveal everything and test all constraints."""
+        from ..parallel import transport as T
+        nparties = T.current().n_parties if T.current().kind == "stacked" else 1
         z = [1]
         for w in self._instance_vals + self._witness_vals:
             val = (w.reveal() if w.visibility == SHARED else w.value).to_ints()
             flat = np.asarray(val).reshape(-1)
-            z.append(int(flat[0]))
+            per = flat.size // nparties if T.current().kind == "stacked" else flat.size
+            z.extend(int(x) for x in flat[:per])
         p = self.spec.p
 
         def ev(lc):

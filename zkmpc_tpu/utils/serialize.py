@@ -1,0 +1,53 @@
+"""Hex-JSON serialization matching the reference's interop convention.
+
+The reference writes every persisted value as `"0x" + hex(CanonicalSerialize
+bytes)` inside JSON files (`src/serialize.rs:23-75`), e.g. the
+preprocessing -> online handoff `outputs/<i>/online_setup.json`
+(`serialize.rs:101-147`).  ark's CanonicalSerialize for prime fields is the
+canonical integer in little-endian bytes, which we reproduce here, so files
+are byte-compatible at the field-element level.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..ops.limbs import FieldSpec, FpArray
+
+
+def field_to_hex(value: int, spec: FieldSpec) -> str:
+    nbytes = (spec.p.bit_length() + 7) // 8
+    return "0x" + int(value % spec.p).to_bytes(nbytes, "little").hex()
+
+
+def hex_to_field(s: str) -> int:
+    assert s.startswith("0x")
+    return int.from_bytes(bytes.fromhex(s[2:]), "little")
+
+
+def fparray_to_hex(x: FpArray) -> list:
+    vals = np.asarray(x.to_ints()).reshape(-1)
+    return [field_to_hex(int(v), x.spec) for v in vals]
+
+
+def write_online_setup(path: str, party_id: int, r_share_hex: list,
+                       r_mac_hex: list | None = None):
+    """Per-party preprocessing output (the reference's `write_r`,
+    `serialize.rs:101-147`)."""
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    doc = {"party": party_id, "r": r_share_hex}
+    if r_mac_hex is not None:
+        doc["r_mac"] = r_mac_hex
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
+def read_online_setup(path: str):
+    with open(path) as f:
+        doc = json.load(f)
+    r = [hex_to_field(h) for h in doc["r"]]
+    mac = [hex_to_field(h) for h in doc.get("r_mac", [])] or None
+    return doc["party"], r, mac
