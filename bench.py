@@ -6,8 +6,9 @@ Prints one JSON line:
 Baseline: the reference's MPC proving time for PedersenComCircuit —
 2,543 constraints in 6.572 s at 3 parties (BASELINE.md / docs/benchmark.md).
 We prove a 3-party circuit with the same constraint count (wide mul gates +
-batched Beaver round + QAP witness map + 4 MSMs + proof reveal) and report
-wall-clock per prove, excluding one-time setup/compilation.
+batched Beaver round + QAP witness map + 4 MSMs + group-Beaver assembly +
+proof reveal) and report wall-clock per prove, excluding one-time
+setup/compilation (the reference's numbers likewise exclude indexing/setup).
 """
 
 import json
@@ -16,10 +17,54 @@ import pickle
 import sys
 import time
 
+import numpy as np
+
 BASELINE_S = 6.572
 N_CONSTRAINTS = 2543
 N_PARTIES = 3
-CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache")
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _dpk_to_host(dpk):
+    import jax
+
+    def pt(p):
+        from zkmpc_tpu.ops.fp2 import Fp2Array
+        if p is None:
+            return None
+        def f(c):
+            if isinstance(c, Fp2Array):
+                return ("fp2", np.asarray(jax.device_get(c.c0.limbs)),
+                        np.asarray(jax.device_get(c.c1.limbs)))
+            return ("fp", np.asarray(jax.device_get(c.limbs)))
+        return (f(p.x), f(p.y), f(p.z), np.asarray(jax.device_get(p.inf)))
+    return dict(pk=dpk.pk,
+                pts={k: pt(getattr(dpk, k)) for k in
+                     ("a_query", "b_g1_query", "b_g2_query", "h_query",
+                      "l_query", "alpha_g1", "beta_g1", "beta_g2",
+                      "delta_g1", "delta_g2")})
+
+
+def _dpk_from_host(doc):
+    from zkmpc_tpu.ops.curve import SWPoint
+    from zkmpc_tpu.ops.fp2 import Fp2Array
+    from zkmpc_tpu.ops.limbs import FQ, FpArray
+    from zkmpc_tpu.snark.groth16 import DeviceProvingKey
+
+    def coord(c):
+        if c[0] == "fp2":
+            return Fp2Array(FpArray(c[1], FQ, 2), FpArray(c[2], FQ, 2))
+        return FpArray(c[1], FQ, 2)
+
+    def pt(t):
+        if t is None:
+            return None
+        return SWPoint(coord(t[0]), coord(t[1]), coord(t[2]), t[3])
+    dpk = DeviceProvingKey.__new__(DeviceProvingKey)
+    dpk.pk = doc["pk"]
+    for k, v in doc["pts"].items():
+        setattr(dpk, k, pt(v))
+    return dpk
 
 
 def main():
@@ -28,25 +73,25 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_zkmpc_tpu"))
 
-    from zkmpc_tpu.snark import driver
+    from zkmpc_tpu.snark import driver, groth16
 
-    n_gates = (N_CONSTRAINTS - 1) // 1  # one constraint per gate + 1 binder
-    n_gates = N_CONSTRAINTS - 1
+    n_gates = (N_CONSTRAINTS - 1)
 
     os.makedirs(CACHE, exist_ok=True)
-    pk_path = os.path.join(CACHE, f"pk_{n_gates}_{N_PARTIES}.pkl")
+    pk_path = os.path.join(CACHE, f"dpk_{n_gates}_{N_PARTIES}.pkl")
     if os.path.exists(pk_path):
         with open(pk_path, "rb") as f:
-            pk = pickle.load(f)
+            dpk = _dpk_from_host(pickle.load(f))
     else:
         t0 = time.time()
-        pk = driver.synthesize(n_gates, N_PARTIES)
-        print(f"# setup (host, one-time): {time.time()-t0:.1f}s",
+        cs = driver.synthesize_cs(n_gates, N_PARTIES)
+        dpk = groth16.device_setup(cs, seed=1)
+        print(f"# setup (device-assisted, one-time): {time.time()-t0:.1f}s",
               file=sys.stderr)
         with open(pk_path, "wb") as f:
-            pickle.dump(pk, f)
+            pickle.dump(_dpk_to_host(dpk), f)
 
-    fn, args = driver.make_prove_fn(pk, N_PARTIES)
+    fn, args = driver.make_prove_fn_dpk(dpk, N_PARTIES)
     step = jax.jit(fn)
 
     t0 = time.time()
@@ -62,10 +107,9 @@ def main():
         times.append(time.time() - t0)
     t = sorted(times)[len(times) // 2]
 
-    # sanity: decode + verify the proof once
+    # sanity: decode + verify the proof once (vanilla pairing verifier)
     proof_ints = driver.proof_arrays_to_ints([jax.device_get(o) for o in out])
-    from zkmpc_tpu.snark import groth16
-    ok = groth16.verify(pk.vk, driver.expected_instance(n_gates), proof_ints)
+    ok = groth16.verify(dpk.pk.vk, driver.expected_instance(n_gates), proof_ints)
     assert ok, "benchmark proof failed verification!"
 
     print(json.dumps({

@@ -87,6 +87,16 @@ def _slice_last(x: MpcFp, a, b) -> MpcFp:
 
 
 def _concat_last(x: MpcFp, y: MpcFp) -> MpcFp:
+    # a public (replicated) wire concatenated into a shared one must first be
+    # promoted to a trivial sharing, else its value gets summed P times on
+    # reveal
+    if x.visibility != y.visibility:
+        from .share import _promote_to_shared
+        if x.visibility == PUBLIC:
+            x = _promote_to_shared(x)
+        else:
+            y = _promote_to_shared(y)
+
     def f(a: FpArray, b: FpArray):
         return FpArray(jnp.concatenate([a.limbs, b.limbs], axis=-2),
                        a.spec, max(a.bound, b.bound))
@@ -137,8 +147,55 @@ def sqrt_public(x: FpArray) -> FpArray:
 
 
 def bit_rand(key, spec: FieldSpec, shape=()) -> MpcFp:
-    """Uniform shared random bits (square-root trick, `boolean_field.rs:150`):
-    sample shared r, open r^2, b = (r/sqrt(r^2) + 1)/2."""
+    """Uniform shared random bits: XOR of one private bit per party.
+
+    Each party contributes a trivially-shared private bit; a log-depth XOR
+    tree (Beaver muls) combines them, so the result is uniform as long as one
+    party is honest — bias-free and ~2 muls per bit, versus the reference's
+    square-root trick (`boolean_field.rs:150`, kept as `bit_rand_sqrt` for
+    protocol parity) which costs a field sqrt + inversion per batch.
+    """
+    c = ctx()
+    t = c.transport
+    if c.backend != "semi":
+        raise NotImplementedError("spdz random bits come from preprocessing")
+    P_ = t.n_parties
+    contribs = []
+    for i in range(P_):
+        ki = jax.random.fold_in(key, i)
+        raw = jax.random.bernoulli(ki, 0.5, tuple(shape))
+        if t.kind == "stacked":
+            # party i's slice holds its bit; other slices hold zero
+            one = FpArray.ones(spec, shape)
+            zero = FpArray.zeros(spec, shape)
+            rows = [FpArray.select(jnp.broadcast_to(raw, shape), one, zero)
+                    if j == i else zero for j in range(P_)]
+            sh = FpArray(jnp.stack([r_.limbs for r_ in rows], axis=0),
+                         spec, 1)
+        else:
+            idx = jax.lax.axis_index(t.axis_name)
+            mine = FpArray.select(jnp.broadcast_to(raw, shape),
+                                  FpArray.ones(spec, shape),
+                                  FpArray.zeros(spec, shape))
+            sh = FpArray.select(
+                jnp.broadcast_to(idx == i, mine.shape), mine,
+                FpArray.zeros(spec, shape))
+        contribs.append(MpcFp(sh, SHARED))
+    # log-depth XOR tree
+    while len(contribs) > 1:
+        nxt = []
+        for j in range(0, len(contribs) - 1, 2):
+            nxt.append(b_xor(contribs[j], contribs[j + 1]))
+        if len(contribs) % 2:
+            nxt.append(contribs[-1])
+        contribs = nxt
+    return contribs[0]
+
+
+def bit_rand_sqrt(key, spec: FieldSpec, shape=()) -> MpcFp:
+    """The reference's square-root-trick bit generation
+    (`boolean_field.rs:150-170`): sample shared r, open r^2,
+    b = (r/sqrt(r^2) + 1)/2."""
     r = rand_shared(key, spec, shape)
     r2 = (r * r).reveal()
     # guard the (negligible) r = 0 case so sqrt/inv stay well-defined

@@ -77,16 +77,20 @@ class MpcTEPoint:
         return MpcTEPoint(-self.x, self.y, -self.t, self.z)
 
     def reveal_affine_ints(self):
-        """Open and normalize to affine ints (host list)."""
+        """Open and normalize to affine ints; returns one entry per batch
+        element (party 0's replicated copy in stacked mode)."""
+        from ..parallel import transport as T
         x = self.x.reveal()
         y = self.y.reveal()
         z = self.z.reveal()
         zi = z.inv()
-        ax = (x * zi).to_ints()
-        ay = (y * zi).to_ints()
-        flat_x = np.asarray(ax).reshape(-1)
-        flat_y = np.asarray(ay).reshape(-1)
-        return [(int(a), int(b)) for a, b in zip(flat_x, flat_y)]
+        ax = np.asarray((x * zi).to_ints())
+        ay = np.asarray((y * zi).to_ints())
+        if T.current().kind == "stacked":
+            ax = ax.reshape(ax.shape[0], -1)[0]
+            ay = ay.reshape(ay.shape[0], -1)[0]
+        return [(int(a), int(b)) for a, b in
+                zip(ax.reshape(-1), ay.reshape(-1))]
 
 
 def _bcast(w: MpcFp, shape):

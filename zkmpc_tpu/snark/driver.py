@@ -45,8 +45,8 @@ def _sum_wire(x: MpcFp) -> MpcFp:
     return MpcFp(_sum_last_axis(x.value), x.visibility, mac)
 
 
-def synthesize(n_gates: int, n_parties: int, seed: int = 1):
-    """Host-side one-time synthesis + setup.  Returns a self-contained pk."""
+def synthesize_cs(n_gates: int, n_parties: int) -> ConstraintSystem:
+    """Build the wide-mul circuit structure (dummy public assignment)."""
     t = T.StackedTransport(n_parties)
     with mpc_scope(MpcContext(t, backend="semi")):
         cs = ConstraintSystem(FR)
@@ -56,8 +56,13 @@ def synthesize(n_gates: int, n_parties: int, seed: int = 1):
         a = _promote_to_shared(MpcFp.from_public(FpArray.from_int(FR, vals_a)))
         b = _promote_to_shared(MpcFp.from_public(FpArray.from_int(FR, vals_b)))
         build_wide_mul_circuit(cs, a, b)
-        pk = groth16.setup(cs, seed=seed)
-    return pk
+    return cs
+
+
+def synthesize(n_gates: int, n_parties: int, seed: int = 1):
+    """Host-side one-time synthesis + setup.  Returns a self-contained pk."""
+    cs = synthesize_cs(n_gates, n_parties)
+    return groth16.setup(cs, seed=seed)
 
 
 def expected_instance(n_gates: int):
@@ -109,8 +114,12 @@ def make_prove_fn(pk: groth16.ProvingKey, n_parties: int):
 
     a_limbs/b_limbs: [P, n, nlimbs] additive shares of the gate inputs.
     """
+    return make_prove_fn_dpk(pk.device(), n_parties)
+
+
+def make_prove_fn_dpk(dpk, n_parties: int):
+    pk = dpk.pk
     n_gates = pk.num_witness // 3
-    dpk = pk.device()
     mats = groth16.device_matrices_from_pk(pk)
 
     def step(a_limbs, b_limbs, key):

@@ -154,6 +154,108 @@ def setup(cs: ConstraintSystem, seed: int = 0) -> ProvingKey:
         num_witness=m - ninst, matrices_coo=(matA, matB, matC))
 
 
+def setup_params(cs: ConstraintSystem, seed: int = 0):
+    """Host part of setup: toxic waste + QAP evaluations u/v/w at tau (ints).
+
+    Kept separate so the expensive fixed-base scalar multiplications can run
+    on device (`device_setup`) for large circuits."""
+    rng = pyrandom.Random(seed)
+    alpha, beta, gamma, delta, tau = (rng.randrange(1, R) for _ in range(5))
+    n = _domain_size(cs)
+    m = cs.num_vars
+    nc = len(cs.constraints)
+    ninst = cs.num_instance
+    from ..spec import field as SF
+    omega = SF.root_of_unity(R, FR.generator, FR.two_adicity, n)
+    z_tau = (pow(tau, n, R) - 1) % R
+    n_inv = pow(n, -1, R)
+    lag = []
+    w_i = 1
+    for i in range(n):
+        lag.append(z_tau * w_i % R * pow((tau - w_i) % R, -1, R) % R * n_inv % R)
+        w_i = w_i * omega % R
+    u = [0] * m
+    v = [0] * m
+    w = [0] * m
+    matA, matB, matC = cs.matrices()
+    for (rows, cols, coeffs), dst in ((matA, u), (matB, v), (matC, w)):
+        for r_i, c_i, coef in zip(rows, cols, coeffs):
+            dst[c_i] = (dst[c_i] + int(coef) * lag[r_i]) % R
+    for j in range(ninst):
+        u[j] = (u[j] + lag[nc + j]) % R
+    return dict(alpha=alpha, beta=beta, gamma=gamma, delta=delta, tau=tau,
+                u=u, v=v, w=w, z_tau=z_tau, n=n, m=m, nc=nc, ninst=ninst,
+                matrices=(matA, matB, matC))
+
+
+def device_setup(cs: ConstraintSystem, seed: int = 0) -> "DeviceProvingKey":
+    """Full setup with the query scalar-muls batched on device (the host spec
+    path in `setup` is O(m) Python scalar muls — fine for tests, intractable
+    for benchmark-sized circuits)."""
+    import jax
+
+    from ..ops import curve as OC
+    from ..ops import msm as OM
+
+    sp = setup_params(cs, seed)
+    alpha, beta, gamma, delta, tau = (sp[k] for k in
+                                      ("alpha", "beta", "gamma", "delta", "tau"))
+    u, v, w, z_tau, n, m, ninst = (sp[k] for k in
+                                   ("u", "v", "w", "z_tau", "n", "m", "ninst"))
+    ginv = pow(gamma, -1, R)
+    dinv = pow(delta, -1, R)
+
+    h_scalars = []
+    acc = z_tau * dinv % R
+    for i in range(n - 1):
+        h_scalars.append(acc)
+        acc = acc * tau % R
+    l_scalars = [(beta * u[j] + alpha * v[j] + w[j]) % R * dinv % R
+                 for j in range(ninst, m)]
+
+    def batch_g1(scalars):
+        base = OC.SWPoint.g1_from_affine_ints([SC.G1_GEN])
+        s = FpArray.from_int(FR, np.asarray(scalars, dtype=object))
+        pts = OM._bcast_sw(base[0], s.shape)
+        return jax.jit(OC.sw_scalar_mul)(pts, s)
+
+    def batch_g2(scalars):
+        base = OC.SWPoint.g2_from_affine_ints([SC.G2_GEN])
+        s = FpArray.from_int(FR, np.asarray(scalars, dtype=object))
+        pts = OM._bcast_sw(base[0], s.shape)
+        return jax.jit(OC.sw_scalar_mul)(pts, s)
+
+    # host: the handful of constant points + vk (instance-count sized)
+    def e1(k):
+        return SC.g1_mul(SC.G1_GEN, k % R)
+
+    def e2(k):
+        return SC.g2_mul(SC.G2_GEN, k % R)
+    ic = [e1((beta * u[j] + alpha * v[j] + w[j]) % R * ginv % R)
+          for j in range(ninst)]
+    vk = VerifyingKey(e1(alpha), e2(beta), e2(gamma), e2(delta), ic)
+    pk = ProvingKey(
+        vk=vk, alpha_g1=e1(alpha), beta_g1=e1(beta), beta_g2=e2(beta),
+        delta_g1=e1(delta), delta_g2=e2(delta),
+        a_query=None, b_g1_query=None, b_g2_query=None,
+        h_query=None, l_query=None,
+        num_instance=ninst, num_constraints=sp["nc"], domain_n=n,
+        num_witness=m - ninst, matrices_coo=sp["matrices"])
+    dpk = DeviceProvingKey.__new__(DeviceProvingKey)
+    dpk.pk = pk
+    dpk.a_query = batch_g1(u)
+    dpk.b_g1_query = batch_g1(v)
+    dpk.b_g2_query = batch_g2(v)
+    dpk.h_query = batch_g1(h_scalars)
+    dpk.l_query = batch_g1(l_scalars) if l_scalars else None
+    dpk.alpha_g1 = OC.SWPoint.g1_from_affine_ints([pk.alpha_g1])[0]
+    dpk.beta_g1 = OC.SWPoint.g1_from_affine_ints([pk.beta_g1])[0]
+    dpk.beta_g2 = OC.SWPoint.g2_from_affine_ints([pk.beta_g2])[0]
+    dpk.delta_g1 = OC.SWPoint.g1_from_affine_ints([pk.delta_g1])[0]
+    dpk.delta_g2 = OC.SWPoint.g2_from_affine_ints([pk.delta_g2])[0]
+    return dpk
+
+
 def device_matrices(cs: ConstraintSystem, n: int):
     A, B, C = cs.matrices()
     return (DeviceMatrix.from_coo(FR, A, n), DeviceMatrix.from_coo(FR, B, n),

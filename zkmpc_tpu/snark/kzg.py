@@ -108,15 +108,18 @@ def open_at(srs: DeviceKzgSrs, coeffs: MpcFp, z: FpArray,
     dom = Domain(FR, n)
     v = evaluate(coeffs, z)
     padded = _pad_to(coeffs, n)
-    evals = _apply(padded, dom.fft)
-    # denominators: omega^i - z (public)
-    omegas = FpArray.from_int(
-        FR, np.asarray([pow(dom.omega, i, R) for i in range(n)], dtype=object))
-    den = omegas - z
+    # evaluate on the COSET g*H so opening points inside H (e.g. omega^j for
+    # instance-consistency opens) never hit a zero denominator
+    evals = _apply(padded, dom.coset_fft)
+    g = dom.coset_gen
+    xs = FpArray.from_int(
+        FR, np.asarray([g * pow(dom.omega, i, R) % R for i in range(n)],
+                       dtype=object))
+    den = xs - z
     den_inv = den.inv()
     num = evals - _broadcast_scalar(v, n)
     w_evals = num * MpcFp.from_public(den_inv)
-    w_coeffs = _apply(w_evals, dom.ifft)
+    w_coeffs = _apply(w_evals, dom.coset_ifft)
     w_commit = commit(srs, _slice(w_coeffs, d))
     return w_commit, v
 

@@ -1,0 +1,347 @@
+"""Collaborative Marlin-style KZG proof system (algebraic holographic proof,
+round-1 subset).
+
+Captures the reference's collaborative-Marlin structure (`src/marlin.rs`,
+`arkworks/marlin/src/lib.rs:152-324`): witness polynomials stay secret-shared;
+every round's commitments are *publicized* (opened) before being absorbed into
+the Fiat-Shamir transcript so all parties derive identical challenges
+(`marlin/src/lib.rs:171-228` — the collaborative-SNARK trick); the final
+evaluations + batched KZG openings are publicized and checked by a vanilla
+verifier.
+
+Protocol (this round's subset — sound, *non-holographic*):
+- domain H of size n >= max(#constraints, #vars); z, z_A, z_B, z_C as
+  polynomials over H (shared coefficients via iNTT).
+- rowcheck: z_A z_B - z_C = h_0 v_H   (committed h_0, random-point check)
+- lincheck for each M in {A,B,C} at a random alpha, eta-combined:
+  sum_{h in H} [ u_H(alpha,h) zM(h) - (M^T r_alpha)(h) z(h) ] = 0, proven by
+  the univariate sumcheck decomposition p(X) = X g(X) + v_H(X) q(X); the
+  verifier recomputes (M^T r_alpha)(beta) itself from the (public) matrices —
+  holographic matrix indexing (row/col/val sumcheck, AHP round 3) is the
+  known gap tracked in ARCHITECTURE.md.
+- one KZG batch opening point beta; openings are publicized and verified with
+  pairings on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+
+import numpy as np
+
+import jax
+
+from .. import params
+from ..mpc.share import MpcFp, PUBLIC, SHARED, _promote_to_shared
+from ..ops.limbs import FR, FpArray
+from ..ops.ntt import Domain
+from ..spec import curves as SC
+from ..spec import field as SF
+from . import kzg
+from .qap import DeviceMatrix
+from .r1cs import ConstraintSystem
+
+R = params.FR_MODULUS
+
+
+@dataclasses.dataclass
+class MarlinIndex:
+    srs: kzg.KzgSrs
+    domain_n: int
+    num_instance: int
+    matrices: tuple          # host COO (A, B, C)
+    dev_matrices: tuple      # DeviceMatrix triples with n_rows = n
+
+
+def setup_and_index(cs: ConstraintSystem, seed: int = 0) -> MarlinIndex:
+    """KZG universal setup + (non-holographic) index: mirrors the reference's
+    local `universal_setup` + `index` + `from_public` lift (`src/marlin.rs:36`)."""
+    n = 1
+    need = max(len(cs.constraints), cs.num_vars, 2)
+    while n < need:
+        n <<= 1
+    srs = kzg.setup(n + 1, seed=seed)
+    A, B, C = cs.matrices()
+    dev = tuple(DeviceMatrix.from_coo(FR, m, n) for m in (A, B, C))
+    return MarlinIndex(srs, n, cs.num_instance, (A, B, C), dev)
+
+
+def _fs_challenge(tag: bytes, *points) -> int:
+    h = hashlib.blake2b(digest_size=32)
+    h.update(tag)
+    for pt in points:
+        if pt is None:
+            h.update(b"inf")
+        else:
+            x, y = pt
+            if isinstance(x, tuple):
+                for c in (*x, *y):
+                    h.update(int(c).to_bytes(48, "little"))
+            else:
+                h.update(int(x).to_bytes(48, "little"))
+                h.update(int(y).to_bytes(48, "little"))
+    return int.from_bytes(h.digest(), "little") % R
+
+
+def _open_point(mp) -> tuple | None:
+    """Publicize a shared commitment point -> host affine ints."""
+    pt = mp.reveal()
+    aff = pt[0:1].to_affine_ints() if pt.shape else pt.to_affine_ints()
+    return aff[0]
+
+
+def _poly_from_evals(evals: MpcFp, dom: Domain) -> MpcFp:
+    def f(fp):
+        return dom.ifft(fp)
+    mac = None if evals.mac is None else f(evals.mac)
+    return MpcFp(f(evals.value), evals.visibility, mac)
+
+
+def _evals_pad(x: MpcFp, n: int) -> MpcFp:
+    return kzg._pad_to(x, n)
+
+
+def prove(index: MarlinIndex, cs: ConstraintSystem, key):
+    """Collaborative prove under the ambient MPC scope.  Returns the opened
+    proof dict (commitments, evaluations, opening witnesses)."""
+    dsrs = index.srs.device()
+    n = index.domain_n
+    dom = Domain(FR, n)
+    A, Bm, Cm = index.dev_matrices
+
+    z = cs.full_assignment()
+    z_pad = _evals_pad(z, n)                 # z as evals over H (var slots)
+    za = _evals_pad(A.matvec(z), n)
+    zb = _evals_pad(Bm.matvec(z), n)
+    zc = _evals_pad(Cm.matvec(z), n)
+
+    z_poly = _poly_from_evals(z_pad, dom)
+    za_poly = _poly_from_evals(za, dom)
+    zb_poly = _poly_from_evals(zb, dom)
+    zc_poly = _poly_from_evals(zc, dom)
+
+    # round 1: commit z, zA, zB, zC; publicize commitments; FS -> alpha, etas
+    com_z = _open_point(kzg.commit(dsrs, z_poly))
+    com_za = _open_point(kzg.commit(dsrs, za_poly))
+    com_zb = _open_point(kzg.commit(dsrs, zb_poly))
+    com_zc = _open_point(kzg.commit(dsrs, zc_poly))
+    alpha = _fs_challenge(b"marlin-r1", com_z, com_za, com_zb, com_zc)
+    eta = [_fs_challenge(b"marlin-eta%d" % i, com_z) for i in range(3)]
+
+    # rowcheck quotient: h0 = (zA zB - zC) / v_H  via coset evaluation
+    a_cos = _apply(za_poly, dom.coset_fft)
+    b_cos = _apply(zb_poly, dom.coset_fft)
+    c_cos = _apply(zc_poly, dom.coset_fft)
+    prod = a_cos * b_cos                      # batched Beaver round
+    h0_cos = _scale(prod - c_cos, dom._vanish_inv_fp)
+    h0_poly = _apply(h0_cos, dom.coset_ifft)
+
+    # lincheck sumcheck: p(X) = u_H(alpha, X) * (sum eta_M zM)(X)
+    #                         - (sum eta_M (M^T r_alpha))(X) * z(X)
+    # Both products are public x shared => local.  Compute the TRUE degree
+    # <= 2n-2 product on a size-2n domain, then split by v_H = X^n - 1
+    # with coefficient surgery: p = (p_low + p_high) + v_H * p_high.
+    u_alpha = _u_H_row(alpha, dom)            # public evals over H [n]
+    eta_fp = [FpArray.from_int(FR, np.asarray(e, dtype=object)) for e in eta]
+    zm_poly = _lincomb([za_poly, zb_poly, zc_poly], eta_fp)
+    rstar = _rstar_evals(index, u_alpha, eta, n)   # public [n] evals of M^T r
+    u_poly = dom.ifft(u_alpha)                # public coeff vectors
+    rstar_poly = dom.ifft(rstar)
+    big = Domain(FR, 2 * n)
+    zm_big = _apply(kzg._pad_to(zm_poly, 2 * n), big.fft)
+    z_big = _apply(kzg._pad_to(z_poly, 2 * n), big.fft)
+    u_big = big.fft(_pad_pub(u_poly, 2 * n))
+    rs_big = big.fft(_pad_pub(rstar_poly, 2 * n))
+    p_big = _scale(zm_big, u_big) - _scale(z_big, rs_big)
+    p_coeffs = _apply(p_big, big.ifft)        # [2n] shared coefficients
+    p_high = kzg._slice(_shift_block(p_coeffs, n), n)   # deg <= n-2
+    q_poly = p_high
+    r_poly = kzg._slice(p_coeffs, n) + p_high           # p_low + p_high
+    # sum over H is zero => r's constant coefficient is zero => g = r >> 1
+    g_poly = _shift_down(r_poly)
+
+    com_h0 = _open_point(kzg.commit(dsrs, h0_poly))
+    com_g = _open_point(kzg.commit(dsrs, g_poly))
+    com_q = _open_point(kzg.commit(dsrs, q_poly))
+    beta = _fs_challenge(b"marlin-r2", com_h0, com_g, com_q)
+    beta_fp = FpArray.from_int(FR, np.asarray(beta, dtype=object))
+
+    # openings at beta for all committed polys (publicized evals + witnesses)
+    proof_polys = dict(z=z_poly, za=za_poly, zb=zb_poly, zc=zc_poly,
+                       h0=h0_poly, g=g_poly, q=q_poly)
+    opens = {}
+    for name, poly in proof_polys.items():
+        w_com, v = kzg.open_at(dsrs, poly, beta_fp, domain_n=2 * n)
+        opens[name] = (_open_point(w_com), _scalar_int(v))
+    # instance-consistency opens: z at omega^j for each instance slot
+    inst_opens = []
+    for j in range(index.num_instance):
+        pt = FpArray.from_int(FR, np.asarray(pow(dom.omega, j, R),
+                                             dtype=object))
+        w_com, v = kzg.open_at(dsrs, z_poly, pt, domain_n=2 * n)
+        inst_opens.append((_open_point(w_com), _scalar_int(v)))
+    return dict(coms=dict(z=com_z, za=com_za, zb=com_zb, zc=com_zc,
+                          h0=com_h0, g=com_g, q=com_q),
+                opens=opens, alpha=alpha, eta=eta, beta=beta,
+                instance_opens=inst_opens)
+
+
+def verify(index: MarlinIndex, instance_ints, proof) -> bool:
+    n = index.domain_n
+    dom = Domain(FR, n)
+    coms = proof["coms"]
+    # recompute challenges from the transcript
+    alpha = _fs_challenge(b"marlin-r1", coms["z"], coms["za"], coms["zb"],
+                          coms["zc"])
+    eta = [_fs_challenge(b"marlin-eta%d" % i, coms["z"]) for i in range(3)]
+    beta = _fs_challenge(b"marlin-r2", coms["h0"], coms["g"], coms["q"])
+    if alpha != proof["alpha"] or beta != proof["beta"] or eta != proof["eta"]:
+        return False
+    # KZG opening checks
+    for name, (w_pt, v_int) in proof["opens"].items():
+        if not kzg.verify_open(index.srs, coms[name], beta, v_int, w_pt):
+            return False
+    ev = {k: v for k, (w, v) in proof["opens"].items()}
+    v_H_beta = (pow(beta, n, R) - 1) % R
+    # rowcheck at beta
+    if (ev["za"] * ev["zb"] - ev["zc"]) % R != ev["h0"] * v_H_beta % R:
+        return False
+    # lincheck sumcheck identity at beta
+    u_ab = _u_H_point(alpha, beta, n)
+    rstar_b = _rstar_eval_host(index, alpha, eta, beta)
+    p_beta = (sum(e * zv for e, zv in
+                  zip(eta, (ev["za"], ev["zb"], ev["zc"]))) % R * u_ab
+              - rstar_b * ev["z"]) % R
+    rhs = (beta * ev["g"] + v_H_beta * ev["q"]) % R
+    if p_beta != rhs:
+        return False
+    # instance consistency: z poly interpolates the public inputs on the
+    # first num_instance domain points
+    omega = dom.omega
+    # open z at omega^j for each instance slot? round-1 subset: recompute
+    # z(omega^j) via ... we instead require the prover to open z at the
+    # instance points; tracked as a gap if absent.
+    inst = proof.get("instance_opens")
+    if inst is None or len(inst) != len(instance_ints):
+        return False
+    for j, (w_pt, v_int) in enumerate(inst):
+        pt = pow(omega, j, R)
+        if v_int != instance_ints[j] % R:
+            return False
+        if not kzg.verify_open(index.srs, coms["z"], pt, v_int, w_pt):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------- internals
+
+
+def _apply(x: MpcFp, fn) -> MpcFp:
+    mac = None if x.mac is None else fn(x.mac)
+    return MpcFp(fn(x.value), x.visibility, mac)
+
+
+def _pad_pub(x: FpArray, n: int):
+    import jax.numpy as jnp
+    d = x.shape[-1]
+    if d == n:
+        return x
+    pad = jnp.zeros(x.limbs.shape[:-2] + (n - d, x.limbs.shape[-1]),
+                    jnp.uint32)
+    return FpArray(jnp.concatenate([jnp.asarray(x.limbs), pad], axis=-2),
+                   x.spec, x.bound)
+
+
+def _shift_block(x: MpcFp, k: int) -> MpcFp:
+    """Drop the first k coefficients: out_i = x_{i+k}."""
+    def f(fp: FpArray):
+        return FpArray(fp.limbs[..., k:, :], fp.spec, fp.bound)
+    return _apply(x, f)
+
+
+def _scale(x: MpcFp, c: FpArray) -> MpcFp:
+    return _apply(x, lambda f: f * c)
+
+
+def _lincomb(xs, coeffs):
+    acc = None
+    for x, c in zip(xs, coeffs):
+        term = _scale(x, c)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _scalar_int(v: MpcFp) -> int:
+    opened = v.reveal() if v.visibility == SHARED else v.value
+    return int(np.asarray(opened.to_ints()).reshape(-1)[0])
+
+
+def _u_H_row(alpha: int, dom: Domain) -> FpArray:
+    """Evals over H of u_H(alpha, X) = (v_H(alpha) - v_H(X)) / (alpha - X):
+    on H, v_H(X)=0, so u_H(alpha, h) = v_H(alpha)/(alpha - h)."""
+    n = dom.n
+    vh_a = (pow(alpha, n, R) - 1) % R
+    vals = []
+    w = 1
+    for _ in range(n):
+        vals.append(vh_a * pow((alpha - w) % R, -1, R) % R)
+        w = w * dom.omega % R
+    return FpArray.from_int(FR, np.asarray(vals, dtype=object))
+
+
+def _u_H_point(alpha: int, beta: int, n: int) -> int:
+    if alpha == beta:
+        return n * pow(alpha, n - 1, R) % R
+    va = (pow(alpha, n, R) - 1) % R
+    vb = (pow(beta, n, R) - 1) % R
+    return (va - vb) * pow((alpha - beta) % R, -1, R) % R
+
+
+def _rstar_evals(index: MarlinIndex, u_alpha: FpArray, eta, n) -> FpArray:
+    """Public evals over H of sum_M eta_M (M^T r_alpha): r*(h) =
+    sum_rows u_alpha[row] * M[row, h] (host; matrices are public)."""
+    ua = [int(x) for x in np.asarray(u_alpha.to_ints()).reshape(-1)]
+    out = [0] * n
+    for (rows, cols, coeffs), e in zip(index.matrices, eta):
+        for r_i, c_i, coef in zip(rows, cols, coeffs):
+            out[c_i] = (out[c_i] + e * ua[r_i] % R * int(coef)) % R
+    return FpArray.from_int(FR, np.asarray(out, dtype=object))
+
+
+def _rstar_eval_host(index: MarlinIndex, alpha: int, eta, beta: int) -> int:
+    """r*(beta) = sum_M eta_M sum_{(r,c,v)} u_H(alpha, omega^r) * v * L_c(beta).
+
+    L_c(beta) = v_H(beta) * omega^c / (n (beta - omega^c)).
+    """
+    n = index.domain_n
+    omega = SF.root_of_unity(R, FR.generator, FR.two_adicity, n)
+    vh_b = (pow(beta, n, R) - 1) % R
+    vh_a = (pow(alpha, n, R) - 1) % R
+    ninv = pow(n, -1, R)
+    # caches
+    upow = {}
+    lpow = {}
+    total = 0
+    for (rows, cols, coeffs), e in zip(index.matrices, eta):
+        for r_i, c_i, coef in zip(rows, cols, coeffs):
+            if r_i not in upow:
+                wr = pow(omega, int(r_i), R)
+                upow[r_i] = vh_a * pow((alpha - wr) % R, -1, R) % R
+            if c_i not in lpow:
+                wc = pow(omega, int(c_i), R)
+                lpow[c_i] = vh_b * wc % R * ninv % R * pow(
+                    (beta - wc) % R, -1, R) % R
+            total = (total + e * upow[r_i] % R * int(coef) % R * lpow[c_i]) % R
+    return total
+
+
+def _shift_down(x: MpcFp) -> MpcFp:
+    import jax.numpy as jnp
+
+    def f(fp: FpArray):
+        limbs = jnp.concatenate(
+            [fp.limbs[..., 1:, :],
+             jnp.zeros_like(fp.limbs[..., :1, :])], axis=-2)
+        return FpArray(limbs, fp.spec, fp.bound)
+    return _apply(x, f)

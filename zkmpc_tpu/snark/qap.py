@@ -34,6 +34,10 @@ class DeviceMatrix:
         self.n_rows = n_rows
         self.max_row_nnz = max_row_nnz
 
+    # max entries accumulated in one raw-limb segment sum (keeps columns
+    # within the carry-resolution headroom: K * 2^15 < 2^26)
+    CHUNK = 1024
+
     @classmethod
     def from_coo(cls, spec, coo, n_rows):
         rows, cols, coeffs = coo
@@ -41,9 +45,20 @@ class DeviceMatrix:
             max_nnz = int(np.bincount(rows).max())
         else:
             max_nnz = 1
-        assert 2 * max_nnz <= spec.mul_bound_budget and max_nnz <= 1024, (
-            "constraint row too dense for single-pass accumulation")
-        return cls(spec, rows, cols, coeffs, n_rows, max_nnz)
+        assert 2 * max_nnz <= spec.mul_bound_budget, "row too dense for field"
+        self = cls(spec, rows, cols, coeffs, n_rows, max_nnz)
+        # occurrence index of each entry within its row -> chunk ids for the
+        # two-level accumulation of dense rows
+        occ = np.zeros(len(rows), dtype=np.int64)
+        counts = {}
+        for i, r_ in enumerate(rows):
+            c = counts.get(int(r_), 0)
+            occ[i] = c
+            counts[int(r_)] = c + 1
+        self.nchunks = max(1, -(-max_nnz // cls.CHUNK))
+        self.seg1 = np.asarray(rows, dtype=np.int64) * self.nchunks + \
+            (occ // cls.CHUNK)
+        return self
 
     def matvec(self, z: MpcFp) -> MpcFp:
         """A @ z for a shared assignment z [m] -> shared [n_rows]."""
@@ -58,14 +73,23 @@ class DeviceMatrix:
 
 
 def _gather_scale_segsum(mat: DeviceMatrix, zv: FpArray) -> FpArray:
+    """Two-level segmented accumulation: raw limb sums stay within carry
+    headroom per chunk (<= CHUNK entries), then chunk partials (carry-resolved
+    limbs) combine per row — handles arbitrarily dense constraint rows (e.g.
+    vote-tally LCs)."""
     spec = mat.spec
     gathered = FpArray(jnp.take(zv.limbs, mat.cols, axis=-2), spec, zv.bound)
     scaled = gathered * mat.coeffs          # [..., nnz] bound 2
     limbs = jnp.moveaxis(scaled.limbs, -2, 0)   # [nnz, ..., nl]
-    summed = jax.ops.segment_sum(limbs, mat.rows, num_segments=mat.n_rows)
-    summed = jnp.moveaxis(summed, 0, -2)        # [..., n_rows, nl]
-    out = _resolve2(summed)[..., :spec.nlimbs]
-    return FpArray(out, spec, 2 * mat.max_row_nnz)
+    part = jax.ops.segment_sum(
+        limbs, jnp.asarray(mat.seg1), num_segments=mat.n_rows * mat.nchunks)
+    part = jnp.moveaxis(part, 0, -2)            # [..., rows*chunks, nl]
+    part = _resolve2(part)[..., :spec.nlimbs]   # limbs <= B
+    if mat.nchunks > 1:
+        shape = part.shape[:-2] + (mat.n_rows, mat.nchunks, spec.nlimbs)
+        part = part.reshape(shape).sum(axis=-2, dtype=jnp.uint32)
+        part = _resolve2(part)[..., :spec.nlimbs]
+    return FpArray(part, spec, 2 * mat.max_row_nnz)
 
 
 def witness_map(spec, matrices, z: MpcFp, domain: Domain, num_instance: int,
