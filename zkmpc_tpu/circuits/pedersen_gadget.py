@@ -75,6 +75,36 @@ class TEAffineVar:
             bit, FpVar.constant(cs, int(xy[1])), FpVar.constant(cs, 1))
         return self.add(TEAffineVar(cx, cy))
 
+    def double(self) -> "TEAffineVar":
+        """Complete formulas double correctly."""
+        return self.add(self)
+
+    @staticmethod
+    def conditionally_select(bit: Boolean, a: "TEAffineVar",
+                             b: "TEAffineVar") -> "TEAffineVar":
+        return TEAffineVar(FpVar.conditionally_select(bit, a.x, b.x),
+                           FpVar.conditionally_select(bit, a.y, b.y))
+
+    def conditionally_add(self, bit: Boolean, other: "TEAffineVar"
+                          ) -> "TEAffineVar":
+        """self + (bit ? other : neutral) for a *variable* other point."""
+        cs = self.x.cs
+        sel = TEAffineVar.conditionally_select(
+            bit, other, TEAffineVar.neutral(cs))
+        return self.add(sel)
+
+    def scalar_mul_le(self, bits: list) -> "TEAffineVar":
+        """Variable-base double-and-add over Boolean bits (LSB first) — the
+        gadget equivalent of ark's `CurveVar::scalar_mul_le` used by the
+        reference's in-circuit ElGamal (`werewolf.rs:520-534`)."""
+        cs = self.x.cs
+        acc = TEAffineVar.neutral(cs)
+        cur = self
+        for bit in bits:
+            acc = acc.conditionally_add(bit, cur)
+            cur = cur.double()
+        return acc
+
     def enforce_equal(self, other: "TEAffineVar"):
         self.x.enforce_equal(other.x)
         self.y.enforce_equal(other.y)
@@ -91,6 +121,30 @@ def _inv_wire(v: FpVar):
 def MpcFpInvPublic(val):
     from ..mpc.share import MpcFp, PUBLIC
     return MpcFp(val.value.inv(), PUBLIC)
+
+
+def pedersen_com_circuit(cs: ConstraintSystem, x: FpVar, r_bools: list,
+                         commitment_xy, pp, key, nbits: int | None = None
+                         ) -> None:
+    """`PedersenComCircuit` (`src/circuits/pedersen_revised.rs:193-240`):
+    enforce that commit(x, r) equals the public commitment point.
+
+    x: allocated FpVar (shared or public); r_bools: randomness-bit Booleans
+    (empty list = default/zero randomness, as the reference's
+    `PedersenRandomness::default()` in the player-commitment checks);
+    commitment_xy: public affine point.
+    """
+    m_bits = x.to_bits(key, nbits)
+    com = pedersen_commit_gadget(cs, m_bits, r_bools, pp)
+    cx = FpVar.new_input(cs, _pub_fp(cs, int(commitment_xy[0])))
+    cy = FpVar.new_input(cs, _pub_fp(cs, int(commitment_xy[1])))
+    com.x.enforce_equal(cx)
+    com.y.enforce_equal(cy)
+
+
+def _pub_fp(cs: ConstraintSystem, v: int):
+    from ..mpc.share import MpcFp
+    return MpcFp.const(cs.spec, v)
 
 
 def pedersen_commit_gadget(cs: ConstraintSystem, m_bits: list, r_bits: list,

@@ -173,7 +173,7 @@ def bit_rand(key, spec: FieldSpec, shape=()) -> MpcFp:
             sh = FpArray(jnp.stack([r_.limbs for r_ in rows], axis=0),
                          spec, 1)
         else:
-            idx = jax.lax.axis_index(t.axis_name)
+            idx = t.party_id_scalar()
             mine = FpArray.select(jnp.broadcast_to(raw, shape),
                                   FpArray.ones(spec, shape),
                                   FpArray.zeros(spec, shape))

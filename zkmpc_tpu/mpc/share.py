@@ -494,7 +494,7 @@ def rand_shared(key, spec: FieldSpec, shape=()) -> MpcFp:
     if t.kind == "stacked":
         sh = R.uniform_fp(key, spec, (t.n_parties,) + tuple(shape))
     else:
-        k = R.party_fold(key, jax.lax.axis_index(t.axis_name))
+        k = R.party_fold(key, t.party_id_scalar())
         sh = R.uniform_fp(k, spec, shape)
     return MpcFp(sh, SHARED)
 
@@ -526,7 +526,7 @@ def king_share(value: FpArray, key) -> MpcFp:
         sh = FpArray.concat(
             [leader_share.reshape((1,) + tuple(batch)), all_shares[1:]], axis=0)
     else:
-        idx = jax.lax.axis_index(t.axis_name)
+        idx = t.party_id_scalar()
         mine = FpArray(jnp.take(all_shares.limbs, idx, axis=0),
                        spec, all_shares.bound)
         is_leader = idx == 0

@@ -72,6 +72,10 @@ class Transport:
         """Party id, shaped to broadcast against [*(stacked P), batch...]."""
         raise NotImplementedError
 
+    def party_id_scalar(self):
+        """Scalar party id (per-party layouts only; undefined for stacked)."""
+        raise NotImplementedError
+
     def leader_mask(self, batch_ndim: int):
         return self.party_index(batch_ndim) == 0
 
@@ -120,6 +124,9 @@ class MeshTransport(Transport):
 
     def party_index(self, batch_ndim: int):
         return jax.lax.axis_index(self.axis_name).reshape((1,) * batch_ndim)
+
+    def party_id_scalar(self):
+        return jax.lax.axis_index(self.axis_name)
 
 
 _CURRENT: contextvars.ContextVar = contextvars.ContextVar(

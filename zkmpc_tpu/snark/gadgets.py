@@ -126,10 +126,17 @@ class FpVar:
 
     def to_bits(self, key, nbits: int | None = None):
         """Bit-decompose with booleanity + recomposition constraints
-        (`mpc_fp.rs:490-544`).  Returns list of Booleans (LSB first)."""
+        (`mpc_fp.rs:490-544`).  Returns list of Booleans (LSB first).
+
+        nbits < full width is a sound range restriction: recomposition over
+        the first nbits forces x < 2^nbits (the MPC decomposition protocol
+        still runs full-width; only the allocation narrows)."""
         spec = self.cs.spec
-        nbits = nbits or spec.p.bit_length()
-        bits_val = B.bit_decomposition(self.value, key)   # [.., nbits]
+        full = spec.p.bit_length()
+        nbits = nbits or full
+        bits_val = B.bit_decomposition(self.value, key)   # [.., full]
+        if nbits < full:
+            bits_val = B._slice_last(bits_val, 0, nbits)
         bools = Boolean.new_witness_vec(self.cs, bits_val)
         # recomposition: sum 2^i b_i = x
         lc = LC({})
@@ -226,6 +233,125 @@ class Boolean:
         for b in bools[1:]:
             acc = Boolean.and_(acc, b)
         return acc
+
+
+# ---------------------------------------------------------------------------
+# Batched gadget forms: one protocol round for many wires (ARCHITECTURE
+# pillar 3 — the reference pays per-scalar rounds; we stack the values into
+# one tensor, run the protocol once, then allocate per-wire constraints).
+# ---------------------------------------------------------------------------
+
+
+def _stack_values(vals) -> MpcFp:
+    return MpcFp.concat([v.reshape(1) for v in vals], axis=0)
+
+
+def _unstack(batch: MpcFp, n: int):
+    return [batch[i] for i in range(n)]
+
+
+def mul_many(pairs) -> list:
+    """Products of (FpVar, FpVar) pairs with ONE batched Beaver round."""
+    if not pairs:
+        return []
+    cs = pairs[0][0].cs
+    xs = _stack_values([a.value for a, _ in pairs])
+    ys = _stack_values([b.value for _, b in pairs])
+    prods = xs * ys                         # one batched round
+    out = []
+    for i, (a, b) in enumerate(pairs):
+        w = FpVar.new_witness(cs, prods[i])
+        cs.enforce(a.lc, b.lc, w.lc)
+        out.append(w)
+    return out
+
+
+def matmul_gadget(A, B):
+    """C = A @ B for FpVar matrices (lists of rows); all partial products in
+    one batched Beaver round, n^2 linear constraints tie them to C."""
+    n, k, m = len(A), len(B), len(B[0])
+    pairs = [(A[i][t], B[t][j]) for i in range(n) for j in range(m)
+             for t in range(k)]
+    prods = mul_many(pairs)
+    C = []
+    idx = 0
+    for i in range(n):
+        row = []
+        for j in range(m):
+            acc = prods[idx]
+            for t in range(1, k):
+                acc = acc + prods[idx + t]
+            idx += k
+            row.append(acc)
+        C.append(row)
+    return C
+
+
+def to_bits_many(vars_, key, nbits: int | None = None):
+    """Bit-decompose many wires with one batched protocol round."""
+    if not vars_:
+        return []
+    cs = vars_[0].cs
+    spec = cs.spec
+    full = spec.p.bit_length()
+    nbits = nbits or full
+    batch = _stack_values([v.value for v in vars_])       # [n]
+    bits_val = B.bit_decomposition(batch, key)            # [n, full]
+    out = []
+    for i, v in enumerate(vars_):
+        row = bits_val[i]
+        if nbits < full:
+            row = B._slice_last(row, 0, nbits)
+        bools = Boolean.new_witness_vec(cs, row)
+        lc = LC({})
+        for j, bv in enumerate(bools):
+            lc = lc + bv.var.lc.scale(pow(2, j, spec.p))
+        cs.enforce(lc, LC.constant(1), v.lc)
+        out.append(bools)
+    return out
+
+
+def is_zero_many(vars_, key) -> list:
+    """[v == 0] for many wires, one batched equality-zero protocol."""
+    if not vars_:
+        return []
+    cs = vars_[0].cs
+    batch = _stack_values([v.value for v in vars_])
+    b_val = B.equality_zero(batch, key)                   # [n]
+    from ..mpc.share import beaver_inv
+    safe = beaver_inv(batch + b_val)                      # batched inverse
+    out = []
+    for i, v in enumerate(vars_):
+        b = Boolean.new_witness(cs, b_val[i])
+        inv = FpVar.new_witness(cs, safe[i])
+        cs.enforce(v.lc, b.var.lc, LC({}))
+        cs.enforce(v.lc, inv.lc, LC.constant(1) - b.var.lc)
+        out.append(b)
+    return out
+
+
+def less_than_many(pairs, key) -> list:
+    """[a < b] Booleans for many pairs, batching the comparison protocol and
+    the bit decompositions into single rounds."""
+    if not pairs:
+        return []
+    cs = pairs[0][0].cs
+    spec = cs.spec
+    xs = _stack_values([a.value for a, _ in pairs])
+    ys = _stack_values([b.value for _, b in pairs])
+    lt_val = B.less_than(xs, ys, key)                     # [n], one protocol
+    lts = [Boolean.new_witness(cs, lt_val[i]) for i in range(len(pairs))]
+    # constrain via bounded difference, batched decomposition
+    diffs = []
+    for (a, b), lt in zip(pairs, lts):
+        diffs.append(FpVar.conditionally_select(
+            lt, b - a, (a - b) + FpVar.constant(cs, 1)))
+    half_bits = (spec.p - 1).bit_length() - 1
+    all_bits = to_bits_many(diffs, key)
+    for bools in all_bits:
+        for bit in bools[half_bits:]:
+            bit.enforce_false()
+    return lts
 
 
 def less_than_gadget(a: FpVar, b: FpVar, key) -> Boolean:
