@@ -96,6 +96,15 @@ def test_gather_scatter_star():
         assert res[i] == bytes([20 + i]) * 4
 
 
+def test_atomic_broadcast():
+    def fn(i, net):
+        return net.atomic_broadcast_bytes(bytes([i]) * 6)
+
+    res = run_parties(3, fn)
+    for i in range(3):
+        assert res[i] == [bytes([j]) * 6 for j in range(3)]
+
+
 def test_stats_counters():
     def fn(i, net):
         net.broadcast_bytes(b"x" * 100)

@@ -161,3 +161,13 @@ def pedersen_commit_gadget(cs: ConstraintSystem, m_bits: list, r_bits: list,
         acc = acc.conditionally_add_constant(bit, h)
         h = SC.te_add(h, h)
     return acc
+
+
+def pedersen_crh_gadget(cs: ConstraintSystem, in_bits: list, cp
+                        ) -> TEAffineVar:
+    """Pedersen CRH in-circuit: H(x) = sum x_i G_i, no blinding (reference
+    `crh/pedersen/constraints.rs`); cp: crypto.pedersen.CrhParams."""
+    acc = TEAffineVar.neutral(cs)
+    for i, bit in enumerate(in_bits):
+        acc = acc.conditionally_add_constant(bit, cp.generators[i])
+    return acc

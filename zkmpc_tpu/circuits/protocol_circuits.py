@@ -43,8 +43,7 @@ def _is_zero_pub(a: MpcFp) -> MpcFp:
     from ..mpc.share import PUBLIC
     from ..ops.limbs import FpArray
     v = int(np.asarray(a.value.to_ints()).reshape(-1)[0])
-    return MpcFp(FpArray.from_int(a.spec, np.asarray(int(v == 0), dtype=object)),
-                 PUBLIC)
+    return MpcFp.const(a.spec, int(v == 0))
 
 
 def bit_decomposition_circuit(cs: ConstraintSystem, a: MpcFp, key):

@@ -96,14 +96,12 @@ def run(inputs_path: str, outdir: str = "outputs", n_parties: int = 3,
         nb = 16
         import dataclasses as _dc
         a_iwc = IN.InputWithCommit(
-            0, a, MpcFp(FpArray.from_int(
-                FR, np.asarray([(ra >> i) & 1 for i in range(nb)],
-                               dtype=object)), PUBLIC),
+            0, a, MpcFp.const(FR, np.asarray(
+                [(ra >> i) & 1 for i in range(nb)], dtype=object)),
             pedersen.commit_public_ints(pp, a_int, ra))
         b_iwc = IN.InputWithCommit(
-            1, b, MpcFp(FpArray.from_int(
-                FR, np.asarray([(rb >> i) & 1 for i in range(nb)],
-                               dtype=object)), PUBLIC),
+            1, b, MpcFp.const(FR, np.asarray(
+                [(rb >> i) & 1 for i in range(nb)], dtype=object)),
             pedersen.commit_public_ints(pp, b_int, rb))
 
         cs = ConstraintSystem(FR)

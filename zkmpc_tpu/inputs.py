@@ -126,8 +126,7 @@ class InputWithCommit:
         if r_int is None:
             r_int = int(jax.random.randint(k2, (), 0, 1 << 16))
         rb = [(r_int >> i) & 1 for i in range(n_r_bits)]
-        r_bits = MpcFp(FpArray.from_int(FR, np.asarray(rb, dtype=object)),
-                       PUBLIC)
+        r_bits = MpcFp.const(FR, np.asarray(rb, dtype=object))
         opened = int(np.asarray(shared.reveal().to_ints()).reshape(-1)[0])
         com = PD.commit_public_ints(pp, opened, r_int)
         return cls(allocation, shared, r_bits, com)

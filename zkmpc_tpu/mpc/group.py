@@ -39,20 +39,30 @@ def _tree_gather(t: T.Transport, tree):
 
 @jax.tree_util.register_pytree_node_class
 class MpcSWPoint:
-    """Shared (or public) batch of short-Weierstrass points."""
+    """Shared (or public) batch of short-Weierstrass points.
 
-    __slots__ = ("point", "visibility")
+    Under the spdz backend a shared point optionally carries a group MAC
+    share mac_i with sum_i mac_i = alpha * P (reference `SpdzGroupShare`,
+    `share/spdz.rs:278-489`); linear ops maintain it, `reveal` accumulates
+    the residue mac_i - alpha_i * P_open into the context's group-MAC queue.
+    """
 
-    def __init__(self, point: SWPoint, visibility: str):
+    __slots__ = ("point", "visibility", "mac")
+
+    def __init__(self, point: SWPoint, visibility: str, mac=None):
         self.point = point
         self.visibility = visibility
+        self.mac = mac
 
     def tree_flatten(self):
-        return (self.point,), (self.visibility,)
+        if self.mac is None:
+            return (self.point,), (self.visibility, False)
+        return (self.point, self.mac), (self.visibility, True)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0])
+        vis, has_mac = aux
+        return cls(children[0], vis, children[1] if has_mac else None)
 
     @property
     def shape(self):
@@ -79,16 +89,25 @@ class MpcSWPoint:
         if a.visibility == PUBLIC:
             a, b = b, a
         if b.visibility == PUBLIC:
-            # leader adds the public point to its share
+            # leader adds the public point to its share; every party adds
+            # alpha_i * P_pub to its mac share (`spdz.rs:197-219`)
             t = T.current()
             mask = t.party_index(len(self.shape)) == 0
             mask = jnp.broadcast_to(mask, a.point.shape)
             added = sw_add_complete(a.point, b.point)
-            return MpcSWPoint(SWPoint.select(mask, added, a.point), SHARED)
-        return MpcSWPoint(sw_add_complete(a.point, b.point), SHARED)
+            mac = None
+            if a.mac is not None:
+                mac = sw_add_complete(a.mac, _alpha_scale(b.point))
+            return MpcSWPoint(SWPoint.select(mask, added, a.point), SHARED,
+                              mac)
+        mac = None
+        if a.mac is not None and b.mac is not None:
+            mac = sw_add_complete(a.mac, b.mac)
+        return MpcSWPoint(sw_add_complete(a.point, b.point), SHARED, mac)
 
     def __neg__(self):
-        return MpcSWPoint(sw_neg(self.point), self.visibility)
+        return MpcSWPoint(sw_neg(self.point), self.visibility,
+                          None if self.mac is None else sw_neg(self.mac))
 
     def __sub__(self, other):
         return self + (-other)
@@ -96,7 +115,9 @@ class MpcSWPoint:
     def scale_public(self, k: MpcFp) -> "MpcSWPoint":
         """Multiply by a public scalar (local)."""
         assert k.visibility == PUBLIC
-        return MpcSWPoint(sw_scalar_mul(self.point, k.value), self.visibility)
+        return MpcSWPoint(sw_scalar_mul(self.point, k.value), self.visibility,
+                          None if self.mac is None
+                          else sw_scalar_mul(self.mac, k.value))
 
     def scale(self, x: MpcFp) -> "MpcSWPoint":
         """Multiply by a (possibly shared) scalar."""
@@ -108,7 +129,9 @@ class MpcSWPoint:
         return _group_beaver_scale(self, x)
 
     def reveal(self) -> SWPoint:
-        """Open the shared point: fold all party shares with complete adds."""
+        """Open the shared point: fold all party shares with complete adds.
+        Under spdz, the MAC residue mac_i - alpha_i * P_open joins the
+        context's group-MAC check queue (`spdz.rs:287-356`)."""
         if self.visibility == PUBLIC:
             return self.point
         t = T.current()
@@ -118,6 +141,9 @@ class MpcSWPoint:
             acc = sw_add_complete(acc, _index0(gathered, i))
         if t.kind == "stacked":
             acc = M._bcast_sw(acc, (t.n_parties,) + acc.shape)
+        if self.mac is not None:
+            residue = sw_add_complete(self.mac, sw_neg(_alpha_scale(acc)))
+            ctx().accumulate_group_mac_residue(residue)
         return acc
 
     def open(self) -> "MpcSWPoint":
@@ -128,14 +154,40 @@ def _index0(p: SWPoint, i: int) -> SWPoint:
     return p[i]
 
 
+def _alpha_scale(point: SWPoint) -> SWPoint:
+    """alpha_i * P for the context's SPDZ key share (local scalar mul)."""
+    c = ctx()
+    a = c.alpha_for(len(point.shape) -
+                    (1 if c.transport.kind == "stacked" else 0))
+    return sw_scalar_mul(point, a)
+
+
+def with_mac_from_public(point_pub: SWPoint) -> MpcSWPoint:
+    """Lift a public point into a mac'd spdz sharing: leader holds P, every
+    party holds mac share alpha_i * P (`spdz.rs:278-310` from_public)."""
+    t = T.current()
+    if t.kind == "stacked":
+        point_pub = M._bcast_sw(point_pub, (t.n_parties,) + point_pub.shape)
+    wrapped = MpcSWPoint.from_public_party_layout(point_pub)
+    mask = jnp.broadcast_to(
+        t.party_index(len(point_pub.shape) -
+                      (1 if t.kind == "stacked" else 0)) == 0,
+        point_pub.shape)
+    inf = SWPoint.infinity_like(point_pub)
+    share = SWPoint.select(mask, point_pub, inf)
+    return MpcSWPoint(share, SHARED, _alpha_scale(point_pub))
+
+
 def mpc_msm(bases: SWPoint, scalars: MpcFp) -> MpcSWPoint:
     """MSM of public bases with (shared or public) scalar vector [..., N].
 
     Shared case is communication-free: each party MSMs its scalar shares
     (reference `multi_scale_pub_group`, `share/group.rs:113-124`)."""
-    t = T.current()
     out = M.sw_msm(bases, scalars.value)
-    return MpcSWPoint(out, scalars.visibility)
+    # spdz: msm of the scalar MAC shares IS the group MAC share
+    # (sum_i msm(b, mac_i) = msm(b, alpha*s) = alpha * msm(b, s))
+    mac = M.sw_msm(bases, scalars.mac) if scalars.mac is not None else None
+    return MpcSWPoint(out, scalars.visibility, mac)
 
 
 def _group_beaver_scale(P: MpcSWPoint, x: MpcFp) -> MpcSWPoint:

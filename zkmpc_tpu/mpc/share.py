@@ -87,6 +87,41 @@ class MpcContext:
         self._mac_accum = None
         return acc
 
+    # -- group MAC check (SPDZ over curve points, `spdz.rs:287-356`) --
+
+    def accumulate_group_mac_residue(self, residue):
+        """residue: party-shaped SWPoint share that must open to infinity."""
+        from ..ops.curve import sw_add_complete
+        if not hasattr(self, "_group_mac_accum"):
+            self._group_mac_accum = None
+        flat = residue.reshape((residue.shape[0], -1)) \
+            if self.transport.kind == "stacked" and len(residue.shape) > 1 \
+            else residue
+        if self._group_mac_accum is None:
+            self._group_mac_accum = flat
+        else:
+            self._group_mac_accum = sw_add_complete(self._group_mac_accum,
+                                                    flat)
+
+    def drain_group_mac_check(self):
+        acc = getattr(self, "_group_mac_accum", None)
+        self._group_mac_accum = None
+        return acc
+
+    def assert_group_macs(self):
+        """Open the accumulated group residue; must be the point at
+        infinity on every slot."""
+        import numpy as np
+        acc = self.drain_group_mac_check()
+        if acc is None:
+            return True
+        from .group import MpcSWPoint
+        opened = MpcSWPoint(acc, "shared").reveal()
+        inf = np.asarray(jax.device_get(opened.inf))
+        if not bool(inf.all()):
+            raise AssertionError("SPDZ group MAC check failed")
+        return True
+
 
 _CTX: contextvars.ContextVar = contextvars.ContextVar("zkmpc_mpc_ctx", default=None)
 

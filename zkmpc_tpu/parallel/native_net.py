@@ -133,6 +133,26 @@ class NativeMeshNet:
         raw = out.raw
         return [raw[i * len(mine):(i + 1) * len(mine)] for i in range(n)]
 
+    def atomic_broadcast_bytes(self, mine: bytes, chan: int = 0) -> list:
+        """Commit-then-open broadcast: round 1 exchanges blake2b(salt||msg)
+        commitments, round 2 opens salt||msg, and every opening is checked
+        against its commitment.  This implements the malicious-security
+        semantics the reference stubs out (`channel.rs:55-84` falls back to
+        plain broadcast with the commitment code commented)."""
+        import hashlib
+        import os as _os
+        salt = _os.urandom(16)
+        com = hashlib.blake2b(salt + mine, digest_size=32).digest()
+        coms = self.broadcast_bytes(com, chan=chan)
+        opens = self.broadcast_bytes(salt + mine, chan=chan)
+        out = []
+        for i, (c, o) in enumerate(zip(coms, opens)):
+            if hashlib.blake2b(o, digest_size=32).digest() != c:
+                raise AssertionError(
+                    f"atomic broadcast: party {i} equivocated")
+            out.append(o[16:])
+        return out
+
     def gather_to_leader(self, mine: bytes, chan: int = 0):
         """Returns list of all parties' buffers on party 0, None elsewhere
         (`worker_send_or_leader_receive`, `lib.rs:80-124`)."""

@@ -230,12 +230,37 @@ def zkpopk_prove(ctx: DealerContext, slots: FpArray, r: bgv.EncRandomness,
     return ZkPoPK(comms, e, zarr, ts)
 
 
+def _inf_norm_centered(x: FpArray) -> int:
+    """Host: max |centered lift| over all coefficients of an R_q tensor."""
+    q = x.spec.p
+    vals = np.asarray(x.to_ints()).reshape(-1)
+    best = 0
+    for v in vals:
+        v = int(v)
+        c = v if v <= q // 2 else v - q
+        best = max(best, abs(c))
+    return best
+
+
 def zkpopk_verify(ctx: DealerContext, ct: bgv.Ciphertext, proof: ZkPoPK) -> bool:
-    """Check Enc_rq(z_k, t_k) == a_k + e_k * ct (re-encryption equality)."""
+    """Check Enc_rq(z_k, t_k) == a_k + e_k * ct (re-encryption equality) AND
+    the DPSZ Fig.10 infinity-norm bounds on the responses — the check the
+    reference leaves unimplemented (`preprocessing.rs:258-328` verifies
+    re-encryption only; its `hash` is also an RNG stub, `:235-239`)."""
     e = _hash_fs(ctx, ct, proof.commitments)
     if e != proof.challenge:
         return False
     V = _SEC
+    # norm bounds: honest z = y + e*m with both centered <= tau = (p-1)/2,
+    # honest t = s + e*r with gaussian coeffs (sigma = 3.2, tail < 10 sigma)
+    tau = (FR.p - 1) // 2
+    rho = 64          # 2 x 10-sigma tail bound per summand
+    if _inf_norm_centered(proof.z) > 2 * tau:
+        return False
+    for t in proof.t:
+        for comp in (t.v, t.e0, t.e1):
+            if _inf_norm_centered(comp) > 2 * rho:
+                return False
     ebits = [(e[k // 8] >> (k % 8)) & 1 for k in range(V)]
     for k in range(V):
         lhs = bgv.encrypt_rq(ctx.pk, proof.z[k], proof.t[k])
