@@ -211,6 +211,23 @@ def scalar_bits(scalars: FpArray, nbits: int):
     return bits[..., :nbits]
 
 
+def _pvary_tree(tree, ref):
+    """Promote every leaf of `tree` to carry at least the varying manual axes
+    of `ref` (shard_map vma discipline); no-op outside shard_map / on older
+    jax without typeof/pvary."""
+    try:
+        want = jax.typeof(ref).vma
+    except Exception:
+        return tree
+    if not want:
+        return tree
+
+    def fix(leaf):
+        missing = tuple(want - jax.typeof(leaf).vma)
+        return jax.lax.pvary(leaf, missing) if missing else leaf
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def _coord_bound2(f):
     """Force bound metadata to 2 (sound for any value < 2p) for scan carries."""
     if isinstance(f, FpArray):
@@ -240,6 +257,11 @@ def sw_scalar_mul(points: SWPoint, scalars: FpArray, nbits: int | None = None
     bits_t = jnp.moveaxis(bits, -1, 0)  # [nbits, ...]
     acc0 = _point_bound2(SWPoint.infinity_like(points))
     base0 = _point_bound2(points.tighten())
+    # under shard_map the accumulator must carry the union of the inputs'
+    # varying axes from step 0, or the scan carry types mismatch (the body
+    # mixes in the per-party bits / point shares via select)
+    acc0 = _pvary_tree(_pvary_tree(acc0, bits_t), points.inf)
+    base0 = _pvary_tree(base0, bits_t)
 
     def body(carry, bit):
         acc, base = carry

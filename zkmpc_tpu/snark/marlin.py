@@ -46,25 +46,90 @@ R = params.FR_MODULUS
 
 
 @dataclasses.dataclass
+class MatrixIndexComms:
+    """Holographic index for one matrix: commitments to the low-degree
+    extensions of the non-zero entries' (row point, col point, value) over
+    an index domain K (the AHP indexer, `marlin/src/ahp/indexer.rs`
+    semantics; row/col store the H-points omega^r, omega^c, not indices)."""
+    k_size: int
+    com_row: tuple
+    com_col: tuple
+    com_val: tuple
+    # prover-side data (public): coeff arrays + raw entry ints
+    row_poly: object = None
+    col_poly: object = None
+    val_poly: object = None
+    entries: tuple = None          # (row_pts, col_pts, vals) int lists
+
+
+@dataclasses.dataclass
 class MarlinIndex:
     srs: kzg.KzgSrs
     domain_n: int
     num_instance: int
     matrices: tuple          # host COO (A, B, C)
     dev_matrices: tuple      # DeviceMatrix triples with n_rows = n
+    index_comms: tuple = None    # MatrixIndexComms per matrix
+
+
+def _index_matrix(srs_dev, coo, n: int) -> MatrixIndexComms:
+    """Commit the (row, col, val) polynomials of one matrix over K."""
+    from ..ops import msm as M_
+
+    rows, cols, coeffs = coo
+    omega_pows = {}
+
+    def w(i):
+        if i not in omega_pows:
+            omega_pows[i] = pow(_omega(n), int(i), R)
+        return omega_pows[i]
+
+    row_pts = [w(r) for r in rows]
+    col_pts = [w(c) for c in cols]
+    vals = [int(v) % R for v in coeffs]
+    k = max(2, 1 << (max(1, len(vals) - 1)).bit_length())
+    # pad: val 0, row/col at omega^0 = 1 (contributes 0 to the sum)
+    row_pts += [1] * (k - len(row_pts))
+    col_pts += [1] * (k - len(col_pts))
+    vals += [0] * (k - len(vals))
+    domK = Domain(FR, k)
+    arr = lambda xs: FpArray.from_int(FR, np.asarray(xs, dtype=object))
+    row_poly = domK.ifft(arr(row_pts))
+    col_poly = domK.ifft(arr(col_pts))
+    val_poly = domK.ifft(arr(vals))
+
+    def com(poly):
+        pt = M_.sw_msm(srs_dev.powers[0:k], poly)
+        return tuple(int(x) for x in pt.to_affine_ints()[0])
+    return MatrixIndexComms(k, com(row_poly), com(col_poly), com(val_poly),
+                            row_poly, col_poly, val_poly,
+                            (row_pts, col_pts, vals))
+
+
+def _omega(n: int) -> int:
+    return SF.root_of_unity(R, FR.generator, FR.two_adicity, n)
 
 
 def setup_and_index(cs: ConstraintSystem, seed: int = 0) -> MarlinIndex:
-    """KZG universal setup + (non-holographic) index: mirrors the reference's
-    local `universal_setup` + `index` + `from_public` lift (`src/marlin.rs:36`)."""
+    """KZG universal setup + holographic index: mirrors the reference's
+    local `universal_setup` + `index` + `from_public` lift (`src/marlin.rs:36`,
+    AHP indexer `marlin/src/ahp/indexer.rs`): the verifier never reads the
+    matrices, only their (row, col, val) KZG commitments."""
     n = 1
     need = max(len(cs.constraints), cs.num_vars, 2)
     while n < need:
         n <<= 1
-    srs = kzg.setup(n + 1, seed=seed)
     A, B, C = cs.matrices()
+    kmax = 2
+    for m in (A, B, C):
+        nnz = max(1, len(m[2]))
+        k = 1 << (nnz - 1).bit_length()
+        kmax = max(kmax, k)
+    srs = kzg.setup(max(n + 1, 2 * kmax - 1), seed=seed)
+    dsrs = srs.device()
     dev = tuple(DeviceMatrix.from_coo(FR, m, n) for m in (A, B, C))
-    return MarlinIndex(srs, n, cs.num_instance, (A, B, C), dev)
+    comms = tuple(_index_matrix(dsrs, m, n) for m in (A, B, C))
+    return MarlinIndex(srs, n, cs.num_instance, (A, B, C), dev, comms)
 
 
 def _fs_challenge(tag: bytes, *points) -> int:
@@ -167,6 +232,29 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     beta = _fs_challenge(b"marlin-r2", com_h0, com_g, com_q)
     beta_fp = FpArray.from_int(FR, np.asarray(beta, dtype=object))
 
+    # round 3 (holographic matrix sumcheck, AHP round 3): for each matrix,
+    # prove sigma_M = sum_K val*col / ((alpha-row)(beta-col)) against the
+    # index commitments; everything in this round is PUBLIC (matrices are
+    # public), so no protocol rounds are spent
+    mat_proofs = []
+    if index.index_comms is not None:
+        for mic in index.index_comms:
+            mat_proofs.append(_matrix_sumcheck_prove(dsrs, mic, alpha, beta))
+    beta3 = None
+    if mat_proofs:
+        beta3 = _beta3_challenge(mat_proofs)
+        b3_fp = FpArray.from_int(FR, np.asarray(beta3, dtype=object))
+        for mic, mp in zip(index.index_comms, mat_proofs):
+            k = mic.k_size
+            opens3 = {}
+            for name, poly in (("row", mic.row_poly), ("col", mic.col_poly),
+                               ("val", mic.val_poly), ("g3", mp.pop("g3_poly")),
+                               ("h3", mp.pop("h3_poly"))):
+                w_com, v = kzg.open_at(dsrs, MpcFp.from_public(poly), b3_fp,
+                                       domain_n=4 * k)
+                opens3[name] = (_open_point(w_com), _scalar_int(v))
+            mp["opens"] = opens3
+
     # openings at beta for all committed polys (publicized evals + witnesses)
     proof_polys = dict(z=z_poly, za=za_poly, zb=zb_poly, zc=zc_poly,
                        h0=h0_poly, g=g_poly, q=q_poly)
@@ -184,7 +272,8 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     return dict(coms=dict(z=com_z, za=com_za, zb=com_zb, zc=com_zc,
                           h0=com_h0, g=com_g, q=com_q),
                 opens=opens, alpha=alpha, eta=eta, beta=beta,
-                instance_opens=inst_opens)
+                instance_opens=inst_opens, mat_proofs=mat_proofs,
+                beta3=beta3)
 
 
 def verify(index: MarlinIndex, instance_ints, proof) -> bool:
@@ -207,9 +296,28 @@ def verify(index: MarlinIndex, instance_ints, proof) -> bool:
     # rowcheck at beta
     if (ev["za"] * ev["zb"] - ev["zc"]) % R != ev["h0"] * v_H_beta % R:
         return False
-    # lincheck sumcheck identity at beta
+    # lincheck sumcheck identity at beta; r*(beta) comes from the holographic
+    # matrix sumchecks when the index is committed (succinct verifier), with
+    # the direct matrix scan as the non-holographic fallback
     u_ab = _u_H_point(alpha, beta, n)
-    rstar_b = _rstar_eval_host(index, alpha, eta, beta)
+    mat_proofs = proof.get("mat_proofs") or []
+    if index.index_comms is not None and mat_proofs:
+        if len(mat_proofs) != len(index.index_comms):
+            return False
+        if proof.get("beta3") != _beta3_challenge(mat_proofs):
+            return False
+        beta3 = proof["beta3"]
+        vh_a = (pow(alpha, n, R) - 1) % R
+        vh_b = v_H_beta
+        acc = 0
+        for mic, mp, e in zip(index.index_comms, mat_proofs, eta):
+            if not _matrix_sumcheck_verify(index.srs, mic, mp, alpha, beta,
+                                           beta3):
+                return False
+            acc = (acc + e * int(mp["sigma"])) % R
+        rstar_b = vh_a * vh_b % R * pow(n, -1, R) % R * acc % R
+    else:
+        rstar_b = _rstar_eval_host(index, alpha, eta, beta)
     p_beta = (sum(e * zv for e, zv in
                   zip(eta, (ev["za"], ev["zb"], ev["zc"]))) % R * u_ab
               - rstar_b * ev["z"]) % R
@@ -232,6 +340,111 @@ def verify(index: MarlinIndex, instance_ints, proof) -> bool:
         if not kzg.verify_open(index.srs, coms["z"], pt, v_int, w_pt):
             return False
     return True
+
+
+# ------------------------------------------------- holographic round 3
+
+
+def _beta3_challenge(mat_proofs) -> int:
+    h = hashlib.blake2b(digest_size=32)
+    h.update(b"marlin-r3")
+    for mp in mat_proofs:
+        h.update(int(mp["sigma"]).to_bytes(32, "little"))
+        for pt in (mp["com_g3"], mp["com_h3"]):
+            h.update(int(pt[0]).to_bytes(48, "little"))
+            h.update(int(pt[1]).to_bytes(48, "little"))
+    return int.from_bytes(h.digest(), "little") % R
+
+
+def _matrix_sumcheck_prove(dsrs, mic: MatrixIndexComms, alpha: int,
+                           beta: int) -> dict:
+    """Univariate sumcheck over the index domain K for
+    sigma = sum_{kappa in K} val(kappa) col(kappa) /
+            ((alpha - row(kappa)) (beta - col(kappa))).
+
+    Identity committed: val(X) col(X) - (alpha - row(X)) (beta - col(X)) *
+    (X g3(X) + sigma/|K|) = h3(X) v_K(X), checked at the FS point beta3.
+    All data here is public; the only cost is device NTTs of size 4|K|.
+    """
+    from ..ops import msm as M_
+
+    k = mic.k_size
+    row_pts, col_pts, vals = mic.entries
+    # sigma + f evals (host ints; |K| is the nnz count)
+    f_evals = []
+    sigma = 0
+    for rw, cl, v in zip(row_pts, col_pts, vals):
+        den = (alpha - rw) % R * ((beta - cl) % R) % R
+        f = v * cl % R * pow(den, -1, R) % R
+        f_evals.append(f)
+        sigma = (sigma + f) % R
+    domK = Domain(FR, k)
+    arr = lambda xs: FpArray.from_int(FR, np.asarray(xs, dtype=object))
+    f_poly = domK.ifft(arr(f_evals))          # deg < k ; f_0 = sigma/|K|
+    # g3 = (f - f_0) / X  (coefficient shift)
+    import jax.numpy as jnp
+    g3 = FpArray(f_poly.limbs[1:], FR, f_poly.bound)
+    # q(X) = a - b * f over a 4K domain
+    dom4 = Domain(FR, 4 * k)
+
+    def pad4(x: FpArray):
+        padn = 4 * k - x.shape[-1]
+        pad = jnp.zeros(x.limbs.shape[:-2] + (padn, x.limbs.shape[-1]),
+                        jnp.uint32)
+        return FpArray(jnp.concatenate([x.limbs, pad], axis=-2), FR, x.bound)
+
+    row_poly, col_poly, val_poly = mic.row_poly, mic.col_poly, mic.val_poly
+    rowb = dom4.fft(pad4(row_poly))
+    colb = dom4.fft(pad4(col_poly))
+    valb = dom4.fft(pad4(val_poly))
+    fb = dom4.fft(pad4(f_poly))
+    alpha_fp = arr([alpha] * (4 * k))
+    beta_fp = arr([beta] * (4 * k))
+    a_ev = valb * colb
+    b_ev = (alpha_fp - rowb) * (beta_fp - colb)
+    q_coeffs = dom4.ifft(a_ev - b_ev * fb)    # deg <= 3k-3, vanishes on K
+    # divide by v_K = X^k - 1: blocks q = q0 + X^k q1 + X^2k q2 + X^3k q3
+    # -> h = (q1+q2+q3) + X^k (q2+q3) + X^2k q3
+    qL = q_coeffs.limbs
+    q0, q1, q2, q3 = (FpArray(qL[i * k:(i + 1) * k], FR, q_coeffs.bound)
+                      for i in range(4))
+    h2 = q3
+    h1 = q2 + h2
+    h0 = q1 + h1
+    # deg q <= 3k-3 so q3 = 0 and deg h <= 2k-3: keep 2k-1 coeffs
+    h3_poly = FpArray(jnp.concatenate(
+        [h0.limbs, h1.limbs], axis=-2)[:2 * k - 1], FR,
+        max(h0.bound, h1.bound))
+
+    def com(poly):
+        pt = M_.sw_msm(dsrs.powers[0:poly.shape[-1]], poly)
+        return tuple(int(x) for x in pt.to_affine_ints()[0])
+    return dict(sigma=sigma, com_g3=com(g3), com_h3=com(h3_poly),
+                g3_poly=g3, h3_poly=h3_poly, k=k)
+
+
+def _matrix_sumcheck_verify(srs, mic: MatrixIndexComms, mp: dict,
+                            alpha: int, beta: int, beta3: int) -> bool:
+    k = mic.k_size
+    if mp.get("k") != k:
+        return False
+    opens = mp["opens"]
+    index_coms = dict(row=mic.com_row, col=mic.com_col, val=mic.com_val,
+                      g3=mp["com_g3"], h3=mp["com_h3"])
+    for name, (w_pt, v_int) in opens.items():
+        if not kzg.verify_open(srs, index_coms[name], beta3, v_int, w_pt):
+            return False
+    row_b = opens["row"][1]
+    col_b = opens["col"][1]
+    val_b = opens["val"][1]
+    g3_b = opens["g3"][1]
+    h3_b = opens["h3"][1]
+    sigma = int(mp["sigma"]) % R
+    vk_b3 = (pow(beta3, k, R) - 1) % R
+    lhs = (val_b * col_b
+           - (alpha - row_b) % R * ((beta - col_b) % R) % R
+           * ((beta3 * g3_b + sigma * pow(k, -1, R)) % R)) % R
+    return lhs == h3_b * vk_b3 % R
 
 
 # ---------------------------------------------------------------- internals
