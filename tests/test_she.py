@@ -96,7 +96,7 @@ def test_initialize_and_alpha(dealer):
 
 
 def test_pair(dealer):
-    r, macs = preprocessing.pair(dealer, jax.random.PRNGKey(9))
+    (r, macs), br = preprocessing.pair(dealer, jax.random.PRNGKey(9))
     alpha = sum(int(x) for x in dealer.alpha_shares.to_ints()) % P
     rv = r.to_ints()
     mv = macs.to_ints()
@@ -104,6 +104,40 @@ def test_pair(dealer):
         rj = sum(int(rv[i][j]) for i in range(3)) % P
         mj = sum(int(mv[i][j]) for i in range(3)) % P
         assert mj == alpha * rj % P
+    # bracket representation: per-party MAC keys beta_j
+    _, bmacs = br
+    bm = bmacs.to_ints()
+    betas = dealer.beta.to_ints()
+    for jkey in range(3):
+        for s in range(N):
+            rj = sum(int(rv[i][s]) for i in range(3)) % P
+            gj = sum(int(bm[jkey][i][s]) for i in range(3)) % P
+            assert gj == int(betas[jkey]) * rj % P
+
+
+def test_initialize_bracket_alpha(dealer):
+    """[alpha]: every party's beta_j authenticates alpha."""
+    shares, bmacs = dealer.alpha_bracket
+    alpha = sum(int(x) for x in dealer.alpha_shares.to_ints()) % P
+    betas = dealer.beta.to_ints()
+    bm = bmacs.to_ints()
+    for jkey in range(3):
+        g = sum(int(bm[jkey][i][0]) for i in range(3)) % P
+        assert g == int(betas[jkey]) * alpha % P
+
+
+def test_inv_pair(dealer):
+    (r, mr), (rinv, mrinv) = preprocessing.inv_pair(
+        dealer, jax.random.PRNGKey(11))
+    alpha = sum(int(x) for x in dealer.alpha_shares.to_ints()) % P
+    rv, iv = r.to_ints(), rinv.to_ints()
+    mrv, miv = mr.to_ints(), mrinv.to_ints()
+    for j in range(N):
+        rj = sum(int(rv[i][j]) for i in range(3)) % P
+        ij = sum(int(iv[i][j]) for i in range(3)) % P
+        assert rj * ij % P == 1
+        assert sum(int(mrv[i][j]) for i in range(3)) % P == alpha * rj % P
+        assert sum(int(miv[i][j]) for i in range(3)) % P == alpha * ij % P
 
 
 def test_triple(dealer):

@@ -54,7 +54,7 @@ def run(zksnark: str, inputs_path: str, n_parties: int = 3,
     params = bgv.SheParams(slots)
     ctx = PP.make_dealer(params, n_parties, kpre)
     PP.initialize(ctx, jax.random.fold_in(kpre, 1))
-    r_shares, r_macs = PP.pair(ctx, jax.random.fold_in(kpre, 2))
+    (r_shares, r_macs), _r_bracket = PP.pair(ctx, jax.random.fold_in(kpre, 2))
     (a, ma), (b, mb), (c, mc) = PP.triple(ctx, jax.random.fold_in(kpre, 3))
     # sanity oracle: a*b == c slot-wise (the reference's triple test)
     p = FR.p

@@ -105,7 +105,7 @@ def mode_init(args):
     params = bgv.SheParams(args.slots)
     ctx = PP.make_dealer(params, n, jax.random.PRNGKey(args.seed))
     PP.initialize(ctx, jax.random.PRNGKey(args.seed + 1))
-    r_shares, r_macs = PP.pair(ctx, jax.random.PRNGKey(args.seed + 2))
+    (r_shares, r_macs), _ = PP.pair(ctx, jax.random.PRNGKey(args.seed + 2))
     PP.triple(ctx, jax.random.PRNGKey(args.seed + 3))
     for i in range(n):
         SER.write_online_setup(

@@ -71,6 +71,14 @@ class Ciphertext:
         c2 = -m(self.c1, other.c1)
         return Ciphertext(c0, c1, c2)
 
+    def mul_plain(self, m_rq: FpArray) -> "Ciphertext":
+        """Multiply by a public plaintext polynomial (degree-preserving):
+        each component is ring-multiplied by m_rq, i.e. slot-wise product
+        with the encoded public value."""
+        m = ring.negacyclic_mul
+        return Ciphertext(m(self.c0, m_rq), m(self.c1, m_rq),
+                          m(self.c2, m_rq))
+
 
 _P_CONST = None
 

@@ -50,6 +50,9 @@ class DealerContext:
     pk: bgv.PublicKey
     alpha_shares: FpArray | None = None     # [P] Fr
     e_alpha: bgv.Ciphertext | None = None   # Enc(diag(alpha))
+    beta: FpArray | None = None             # [P] per-party bracket MAC keys
+    e_beta: list | None = None              # per-party Enc(diag(beta_j))
+    alpha_bracket: tuple | None = None      # bracket(alpha) from initialize
 
 
 def make_dealer(params: bgv.SheParams, n_parties: int, key) -> DealerContext:
@@ -111,40 +114,104 @@ def angle(ctx: DealerContext, shares: FpArray, e_m: bgv.Ciphertext, key):
     return shares, mac_shares
 
 
-def initialize(ctx: DealerContext, key):
-    """Generate alpha, encrypt per-party diag(alpha_i) with ZKPoPK, store
-    Enc(alpha) (`preprocessing.rs:732-809`)."""
-    from ..mpc.rand import uniform_fp
+def _diag_encrypt_with_popk(ctx: DealerContext, vals: FpArray, key):
+    """Encrypt diag(vals_j) per party with a ZKPoPK each; -> list of cts."""
     P_ = ctx.n_parties
     n = ctx.params.n
-    alpha_i = uniform_fp(jax.random.fold_in(key, 1), FR, (P_,))
-    # diagonal (replicated) encoding: alpha_i in every slot
-    diag = FpArray(jnp.broadcast_to(alpha_i.limbs[:, None, :],
-                                    (P_, n, alpha_i.limbs.shape[-1])),
-                   FR, alpha_i.bound)
+    diag = FpArray(jnp.broadcast_to(vals.limbs[:, None, :],
+                                    (P_, n, vals.limbs.shape[-1])),
+                   FR, vals.bound)
     cts = []
     for i in range(P_):
-        r = bgv.sample_enc_randomness(ctx.params, jax.random.fold_in(key, 10 + i))
+        r = bgv.sample_enc_randomness(ctx.params, jax.random.fold_in(key, i))
         ct = bgv.encrypt_slots(ctx.pk, ctx.params, diag[i], r)
         proof = zkpopk_prove(ctx, diag[i], r, ct,
                              jax.random.fold_in(key, 100 + i))
         assert zkpopk_verify(ctx, ct, proof), "ZKPoPK rejected"
         cts.append(ct)
+    return cts
+
+
+def bracket(ctx: DealerContext, shares: FpArray, e_m: bgv.Ciphertext, key):
+    """SPDZ [m]: per-party MAC keys.  Returns (shares [P, n],
+    macs [P_keys, P_holders, n]) with sum_i macs[j, i] == beta_j * m for
+    every key-owner j (`preprocessing.rs:613-721` BracketShares: each party
+    holds its share plus one MAC share under every other party's key)."""
+    assert ctx.e_beta is not None, "initialize() first"
+    macs = []
+    for j in range(ctx.n_parties):
+        e_gamma_j = ctx.e_beta[j].mul(e_m)
+        macs_j, _ = reshare(ctx, e_gamma_j, jax.random.fold_in(key, j))
+        macs.append(macs_j)
+    return shares, FpArray.stack(macs, axis=0)
+
+
+def initialize(ctx: DealerContext, key):
+    """Generate alpha + per-party bracket keys beta_j, encrypt each
+    diag-encoded key share under a ZKPoPK, store Enc(alpha), and produce
+    [alpha] (`preprocessing.rs:732-809`: alpha-gen + ZKPoPKs + bracket of
+    alpha)."""
+    from ..mpc.rand import uniform_fp
+    P_ = ctx.n_parties
+    alpha_i = uniform_fp(jax.random.fold_in(key, 1), FR, (P_,))
+    beta_i = uniform_fp(jax.random.fold_in(key, 2), FR, (P_,))
+    cts = _diag_encrypt_with_popk(ctx, alpha_i, jax.random.fold_in(key, 10))
     ctx.alpha_shares = alpha_i
     ctx.e_alpha = _sum_ct(cts)
+    ctx.beta = beta_i
+    ctx.e_beta = _diag_encrypt_with_popk(ctx, beta_i,
+                                         jax.random.fold_in(key, 20))
+    # bracket(alpha): alpha_i is one scalar per party -> replicate across the
+    # slot dimension so the MAC ciphertext algebra is uniform, keep slot 0
+    n = ctx.params.n
+    a_slots = FpArray(jnp.broadcast_to(
+        alpha_i.limbs[:, None, :], (P_, n, alpha_i.limbs.shape[-1])),
+        FR, alpha_i.bound)
+    ctx.alpha_bracket = bracket(ctx, a_slots, ctx.e_alpha,
+                                jax.random.fold_in(key, 30))
     return alpha_i
 
 
 def pair(ctx: DealerContext, key):
-    """Random <r>: returns (r_shares [P, n], r_mac_shares [P, n])
-    (`preprocessing.rs:823-878`)."""
+    """Random r in both representations (`preprocessing.rs:823-878`):
+    returns ((r_shares, r_mac_shares), (r_shares, r_bracket_macs)) —
+    the reference's (<r>, [r]) output."""
     from ..mpc.rand import uniform_fp
     P_ = ctx.n_parties
     n = ctx.params.n
     r_i = uniform_fp(jax.random.fold_in(key, 1), FR, (P_, n))
     e_r = _sum_ct(_encrypt_party_slots(ctx, r_i, jax.random.fold_in(key, 2)))
     _, macs = angle(ctx, r_i, e_r, jax.random.fold_in(key, 3))
-    return r_i, macs
+    br = bracket(ctx, r_i, e_r, jax.random.fold_in(key, 4)) \
+        if ctx.e_beta is not None else None
+    return (r_i, macs), br
+
+
+def inv_pair(ctx: DealerContext, key):
+    """Random (r, r^-1) in <.> representation: sample r, s, open w = r*s via
+    SHE multiply + decrypt, set r^-1 shares = s_i * w^-1 (w public)
+    (`share.rs:17-42` inv_pair interface; the reference never generates
+    these — its online inv uses the dummy source)."""
+    from ..mpc.rand import uniform_fp
+    P_ = ctx.n_parties
+    n = ctx.params.n
+    r_i = uniform_fp(jax.random.fold_in(key, 1), FR, (P_, n))
+    s_i = uniform_fp(jax.random.fold_in(key, 2), FR, (P_, n))
+    e_r = _sum_ct(_encrypt_party_slots(ctx, r_i, jax.random.fold_in(key, 3)))
+    e_s = _sum_ct(_encrypt_party_slots(ctx, s_i, jax.random.fold_in(key, 4)))
+    w = bgv.decrypt_slots(ctx.sk, e_r.mul(e_s))        # [n] public
+    w_inv = w.inv()
+    rinv_i = s_i * w_inv.broadcast_to(s_i.shape)       # scale by public
+    # fresh low-noise ciphertext of r^-1 for its MAC (dealer-side re-encrypt,
+    # same trust model as the reference's reshare which decrypts centrally;
+    # Enc(s)*lift(encode(w^-1)) would overflow the q noise budget: the lifted
+    # coefficients are ~p/2)
+    rinv_slots = bgv.decrypt_slots(ctx.sk, e_s) * w_inv
+    re = bgv.sample_enc_randomness(ctx.params, jax.random.fold_in(key, 7))
+    e_rinv = bgv.encrypt_slots(ctx.pk, ctx.params, rinv_slots, re)
+    _, mac_r = angle(ctx, r_i, e_r, jax.random.fold_in(key, 5))
+    _, mac_rinv = angle(ctx, rinv_i, e_rinv, jax.random.fold_in(key, 6))
+    return (r_i, mac_r), (rinv_i, mac_rinv)
 
 
 def triple(ctx: DealerContext, key):
@@ -319,7 +386,24 @@ class SheTripleSource:
         return tuple(out)
 
     def inv_pairs(self, spec, shape):
-        raise NotImplementedError("inverse pairs: round 2")
+        assert spec is FR
+        total = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        n = self.ctx.params.n
+        batches = []
+        got = 0
+        while got < total:
+            self.key, k = jax.random.split(self.key)
+            batches.append(inv_pair(self.ctx, k))
+            got += n
+        use_mac = _current_backend_spdz()
+        out = []
+        for i in range(2):
+            vals = FpArray.concat([b[i][0] for b in batches], axis=1)
+            macs = FpArray.concat([b[i][1] for b in batches], axis=1)
+            vals = _shape_to(vals, shape, total)
+            macs = _shape_to(macs, shape, total)
+            out.append(MpcFp(vals, SHARED, macs if use_mac else None))
+        return tuple(out)
 
 
 def _current_backend_spdz():
