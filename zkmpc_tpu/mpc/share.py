@@ -583,3 +583,48 @@ def _sum_axis0(x: FpArray) -> FpArray:
     for i in range(1, x.shape[0]):
         acc = acc + x[i]
     return acc
+
+
+# ---------------------------------------------------------------------------
+# modulus conversion: re-embed a wire mod p1 as a wire mod p2
+# ---------------------------------------------------------------------------
+
+
+def modulus_conversion(x: MpcFp, target: FieldSpec, key) -> MpcFp:
+    """Convert a field wire mod p1 into a wire mod p2 (reference
+    `mpc_primitives.rs:75-87` ``ModulusConversion``, used by the Pedersen
+    constraint gadget to move booleans from Fr to the TE scalar field,
+    `commitment/pedersen/constraints.rs:171,222`).
+
+    Matches the reference protocol exactly (`share/additive.rs:164-181`,
+    `spdz.rs:253-265`, both marked "bad implementation, just for testing"):
+    the value is *opened*, its integer bit pattern re-embedded mod p2 on
+    device (`fp_from_digits`), and the result re-shared by the leader
+    (``king_share``).  Only suitable for values that may be made public
+    mid-protocol (the reference uses it on commitment openings).
+
+    SPDZ: re-sharing in a different field needs a MAC key in that field;
+    like the reference we reuse the ambient context, so the conversion is
+    supported when ``target`` matches the MAC-key field, else the semi
+    backend must be used for the target wire.
+    """
+    from ..ops.limbs import fp_from_digits
+
+    t = T.current()
+    if x.visibility == PUBLIC:
+        v = x.value
+        if t.kind == "stacked":
+            v = v[0]
+        return MpcFp.from_public(fp_from_digits(target, v.int_limbs()))
+    opened = x.reveal()
+    if t.kind == "stacked":
+        opened = opened[0]
+    converted = fp_from_digits(target, opened.int_limbs())
+    c = ctx()
+    if c.backend == "spdz" and c.alpha_share.spec is not target:
+        # deal semi-style shares (no MAC) — caller tracks the value's
+        # integrity through the commitment it was opened against, as the
+        # reference does on this path.
+        with mpc_scope(MpcContext(t, "semi", c.triple_source)):
+            return king_share(converted, key)
+    return king_share(converted, key)

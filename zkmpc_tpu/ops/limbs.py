@@ -569,6 +569,38 @@ def fp_from_u32(spec: FieldSpec, vals) -> FpArray:
     return FpArray(out, spec, 2)
 
 
+def fp_from_digits(spec: FieldSpec, digits) -> FpArray:
+    """Canonical base-2^15 digit tensor [..., nd] (integer value, arbitrary
+    width nd) -> Montgomery-form FpArray of the value mod ``spec.p``.
+
+    Device-side re-embedding of an integer bit pattern into a *different*
+    prime field — the core of cross-field modulus conversion (reference
+    `share/additive.rs:164-181`, `wire/field.rs:1134-1146`).  Works in both
+    directions (wide->narrow reduces mod p; narrow->wide zero-extends) via
+    chunked Horner: each (nlimbs-1)-digit chunk is lifted to Montgomery form
+    exactly (chunk < B^(n-1) keeps the REDC bound budget), then folded with
+    the public constant B^(n-1) mod p.
+    """
+    digits = jnp.asarray(digits, dtype=_U32)
+    n = spec.nlimbs
+    c = n - 1
+    nd = digits.shape[-1]
+    k = max(1, -(-nd // c))
+    pad = k * c - nd
+    if pad:
+        digits = jnp.pad(
+            digits, [(0, 0)] * (digits.ndim - 1) + [(0, pad)])
+    r2 = jnp.asarray(spec.r2_limbs)
+    shift = FpArray.from_int(spec, (B ** c) % spec.p)
+    acc = None
+    for j in reversed(range(k)):
+        raw = jnp.zeros(digits.shape[:-1] + (n,), dtype=_U32)
+        raw = raw.at[..., :c].set(digits[..., j * c:(j + 1) * c])
+        chunk = FpArray(_mont_mul_limbs(spec, raw, r2), spec, 2)
+        acc = chunk if acc is None else acc * shift + chunk
+    return acc
+
+
 def fp_geq_const(x_int_limbs, spec: FieldSpec, k: int):
     """x >= k for canonical integer limbs (from int_limbs()) vs a host int."""
     kl = jnp.asarray(int_to_limbs(k, spec.nlimbs))
