@@ -9,16 +9,19 @@ the Fiat-Shamir transcript so all parties derive identical challenges
 evaluations + batched KZG openings are publicized and checked by a vanilla
 verifier.
 
-Protocol (this round's subset — sound, *non-holographic*):
+Protocol:
 - domain H of size n >= max(#constraints, #vars); z, z_A, z_B, z_C as
   polynomials over H (shared coefficients via iNTT).
 - rowcheck: z_A z_B - z_C = h_0 v_H   (committed h_0, random-point check)
 - lincheck for each M in {A,B,C} at a random alpha, eta-combined:
   sum_{h in H} [ u_H(alpha,h) zM(h) - (M^T r_alpha)(h) z(h) ] = 0, proven by
-  the univariate sumcheck decomposition p(X) = X g(X) + v_H(X) q(X); the
-  verifier recomputes (M^T r_alpha)(beta) itself from the (public) matrices —
-  holographic matrix indexing (row/col/val sumcheck, AHP round 3) is the
-  known gap tracked in ARCHITECTURE.md.
+  the univariate sumcheck decomposition p(X) = X g(X) + v_H(X) q(X).
+- holographic matrix indexing (AHP round 3): the indexer commits to the
+  row/col/val low-degree extensions over an index domain K
+  (`_index_matrix`); the prover supplies the matrix-sumcheck round proving
+  (M^T r_alpha)(beta) against those commitments, so the verifier never
+  touches the matrices (falls back to a direct public-matrix scan when an
+  index lacks commitments).
 - one KZG batch opening point beta; openings are publicized and verified with
   pairings on the host.
 """
