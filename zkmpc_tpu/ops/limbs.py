@@ -160,6 +160,13 @@ MNT4Q = FieldSpec("mnt4_753_fq", _P.MNT4753_FQ_MODULUS, _P.MNT4753_FQ_GENERATOR,
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_mode():
+    """'mosaic' | 'interpret' | None — resolved once per process."""
+    from . import pallas_fp
+    return pallas_fp.enabled()
+
+
 def _resolve2(cols):
     """Two relaxed carry passes: columns < 2**26  ->  limbs <= B (length+1)."""
     # pass 1: limbs -> < B + 2**11
@@ -236,7 +243,18 @@ def _conv_cols(a, b, nout=None):
 
 
 def _mont_mul_limbs(spec: FieldSpec, a, b):
-    """REDC(a*b): inputs value < c1*p, c2*p with c1*c2*p <= R/2; output < 2p."""
+    """REDC(a*b): inputs value < c1*p, c2*p with c1*c2*p <= R/2; output < 2p.
+
+    Large batches route to the fused Pallas kernel on TPU
+    (`pallas_fp.mont_mul_pallas`): one Mosaic kernel instead of ~15 HLO ops,
+    ~4x faster at depth and ~10x faster to compile (measured v5e)."""
+    mode = _pallas_mode()
+    if mode is not None:
+        from . import pallas_fp
+        batch = np.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        size = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        if size >= pallas_fp.MIN_PALLAS_BATCH:
+            return pallas_fp.mont_mul_pallas(spec, a, b, mode)
     n = spec.nlimbs
     t_cols = _conv_cols(a, b)                      # [..., 2n]
     t = _resolve2(t_cols)                          # [..., 2n+1], limbs <= B
