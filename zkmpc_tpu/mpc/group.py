@@ -181,12 +181,25 @@ def with_mac_from_public(point_pub: SWPoint) -> MpcSWPoint:
 def mpc_msm(bases: SWPoint, scalars: MpcFp) -> MpcSWPoint:
     """MSM of public bases with (shared or public) scalar vector [..., N].
 
-    Shared case is communication-free: each party MSMs its scalar shares
-    (reference `multi_scale_pub_group`, `share/group.rs:113-124`)."""
-    out = M.sw_msm(bases, scalars.value)
+    Shared case is communication-free across *parties*: each party MSMs its
+    scalar shares (reference `multi_scale_pub_group`, `share/group.rs:113-124`).
+    When the context carries a chips axis (2-D mesh: parties x chips), the
+    point range additionally splits across the party's own chips with one
+    all_gather-fold on ICI (SURVEY.md §5: the reference never shards a single
+    MSM; this is the TPU-native scale-out axis)."""
+    c = ctx()
+    if c.chips_axis is not None and len(bases.shape) == 1:
+        from ..parallel.sharded import replicated_sharded_sw_msm
+
+        def msm(s):
+            return replicated_sharded_sw_msm(bases, s, c.chips_axis, c.n_chips)
+    else:
+        def msm(s):
+            return M.sw_msm(bases, s)
+    out = msm(scalars.value)
     # spdz: msm of the scalar MAC shares IS the group MAC share
     # (sum_i msm(b, mac_i) = msm(b, alpha*s) = alpha * msm(b, s))
-    mac = M.sw_msm(bases, scalars.mac) if scalars.mac is not None else None
+    mac = msm(scalars.mac) if scalars.mac is not None else None
     return MpcSWPoint(out, scalars.visibility, mac)
 
 

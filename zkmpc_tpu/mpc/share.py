@@ -46,13 +46,19 @@ class MpcContext:
 
     def __init__(self, transport: T.Transport, backend: str = "semi",
                  triple_source=None, alpha_share: FpArray | None = None,
-                 mac_check_key=None):
+                 mac_check_key=None, chips_axis: str | None = None,
+                 n_chips: int = 1):
         assert backend in ("semi", "spdz")
         self.transport = transport
         self.backend = backend
         self.triple_source = triple_source or DummyTripleSource()
         self.alpha_share = alpha_share  # FpArray, party-shaped scalar share
         self.mac_check_key = mac_check_key
+        # intra-party multi-chip sharding: when set (inside shard_map over a
+        # 2-D mesh ("parties", chips_axis)), the MSM hot loop splits its
+        # point range across the party's chips (parallel/sharded.py)
+        self.chips_axis = chips_axis
+        self.n_chips = n_chips
         self._mac_accum = None  # random linear combination of MAC residues
         self._mac_count = 0
 

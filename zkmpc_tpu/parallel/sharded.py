@@ -61,6 +61,59 @@ def sharded_sw_msm(points: SWPoint, scalars: FpArray,
     return _sw_reduce_last(gathered)
 
 
+def replicated_sharded_sw_msm(points: SWPoint, scalars: FpArray,
+                              axis_name: str, n_chips: int,
+                              nbits: int | None = None) -> SWPoint:
+    """MSM with *replicated* inputs, work-split over ``axis_name``.
+
+    For use inside ``shard_map`` when the point/scalar tensors are replicated
+    across the chips axis (the common case in the prove path: the witness is
+    party-sharded but chip-replicated).  Each chip dynamically slices its
+    [N/C] block, computes the partial MSM, and the partials fold over one
+    all_gather — same collective pattern as :func:`sharded_sw_msm` without
+    requiring the caller to pre-shard the operands."""
+    N = scalars.shape[-1]
+    per = -(-N // n_chips)
+    pad = per * n_chips - N
+    if pad:
+        zpad = jnp.zeros(scalars.limbs.shape[:-2] + (pad, scalars.limbs.shape[-1]),
+                         jnp.uint32)
+        scalars = FpArray(jnp.concatenate([scalars.limbs, zpad], axis=-2),
+                          scalars.spec, scalars.bound)
+        inf_pad = _bcast_point_like(SWPoint.infinity_like(points[0:1]), pad)
+        points = SWPoint.concat([points.tighten(), inf_pad], axis=0)
+    i = jax.lax.axis_index(axis_name)
+
+    def slc(leaf):
+        axis = leaf.ndim - 2 if leaf.dtype == jnp.uint32 else leaf.ndim - 1
+        return jax.lax.dynamic_slice_in_dim(leaf, i * per, per, axis=axis)
+
+    pts_local = jax.tree_util.tree_map(slc, points)
+    scal_local = FpArray(slc(scalars.limbs), scalars.spec, scalars.bound)
+    partial = sw_msm(pts_local, scal_local, nbits=nbits)
+
+    def gather_coord(f):
+        if isinstance(f, Fp2Array):
+            return Fp2Array(gather_coord(f.c0), gather_coord(f.c1))
+        return FpArray(jax.lax.all_gather(f.limbs, axis_name, axis=0),
+                       f.spec, f.bound)
+
+    gathered = SWPoint(gather_coord(partial.x), gather_coord(partial.y),
+                       gather_coord(partial.z),
+                       jax.lax.all_gather(partial.inf, axis_name, axis=0))
+    return _sw_reduce_last(gathered)
+
+
+def _bcast_point_like(p: SWPoint, n: int) -> SWPoint:
+    shape = (n,) + p.shape[1:]
+
+    def bc(f):
+        if isinstance(f, Fp2Array):
+            return Fp2Array(bc(f.c0), bc(f.c1))
+        return f.broadcast_to(shape)
+    return SWPoint(bc(p.x), bc(p.y), bc(p.z), jnp.broadcast_to(p.inf, shape))
+
+
 # ------------------------------------------------------------------ NTT
 
 
