@@ -70,8 +70,17 @@ def _dpk_from_host(doc):
 def main():
     import jax
 
+    # Cache dir keyed by host CPU fingerprint: AOT artifacts from a different
+    # machine segfault on load (see tests/conftest.py).
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            fp = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        fp = ""
+    suffix = hashlib.sha1(fp.encode()).hexdigest()[:12]
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_zkmpc_tpu"))
+                      os.path.expanduser(f"~/.cache/jax_zkmpc_tpu_{suffix}"))
 
     from zkmpc_tpu.snark import driver, groth16
 

@@ -61,3 +61,36 @@ def test_groth16_prove_verify(n_parties):
     bad = list(instance)
     bad[1] = (bad[1] + 1) % P
     assert not groth16.verify(vk, bad, proof), "wrong instance must fail"
+
+
+def test_groth16_prove_verify_spdz():
+    """Collaborative prove under the malicious-majority (SPDZ) backend:
+    every open during the witness map / proof reveal accumulates MAC
+    residues that must sum to zero (reference `malicious` feature swapping
+    `AdditiveFieldShare` -> `SpdzFieldShare`, `src/lib.rs:11-23`)."""
+    from zkmpc_tpu.mpc.rand import uniform_fp
+    t = StackedTransport(3)
+    alpha = uniform_fp(jax.random.PRNGKey(99), FR, (3,))
+    c = MpcContext(t, backend="spdz", alpha_share=alpha,
+                   mac_check_key=jax.random.PRNGKey(7))
+    with mpc_scope(c):
+        cs = ConstraintSystem(FR)
+        a_wire = king_share(fp(7), jax.random.PRNGKey(21))
+        b_wire = king_share(fp(6), jax.random.PRNGKey(22))
+        c_pub = MpcFp.const(FR, 42)
+        build_mul_circuit(cs, a_wire, b_wire, c_pub)
+        assert cs.is_satisfied_ints()
+        pk = groth16.setup(cs, seed=9)
+        proof = groth16.prove(pk.device(), cs, jax.random.PRNGKey(43))
+        proof_ints = groth16.proof_to_ints(proof)
+        instance = cs.instance_ints()
+        # MAC check: all accumulated open residues must sum to zero
+        from zkmpc_tpu.mpc import share as MS
+        residue = c.drain_mac_check()
+        if residue is not None:
+            s = MS._sum_fp(FpArray(residue.limbs, FR,
+                                   residue.bound).reshape((-1,)))
+            assert bool(np.asarray(s.is_zero()).all()), \
+                "SPDZ MAC residue must be zero"
+        c.assert_group_macs()
+    assert groth16.verify(pk.vk, instance, proof_ints)

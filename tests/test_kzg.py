@@ -36,3 +36,15 @@ def test_kzg_commit_open_verify():
     assert kzg.verify_open(srs, com_pt, z_int, v_int, w_pt)
     # wrong value must fail
     assert not kzg.verify_open(srs, com_pt, z_int, (v_int + 1) % P, w_pt)
+
+
+def test_srs_save_load_roundtrip(tmp_path):
+    """SRS persistence (reference `src/marlin.rs:371-376,456-478`)."""
+    from zkmpc_tpu.snark import kzg
+
+    srs = kzg.setup(8, seed=4)
+    p = str(tmp_path / "srs.json")
+    kzg.save_srs(srs, p)
+    s2 = kzg.load_srs(p)
+    assert s2.powers == srs.powers
+    assert s2.g2 == srs.g2 and s2.beta_g2 == srs.beta_g2

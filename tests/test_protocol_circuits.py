@@ -102,3 +102,34 @@ def test_equality_zero_groth16_prove():
         proof_ints = groth16.proof_to_ints(proof)
         instance = cs.instance_ints()
     assert groth16.verify(pk.vk, instance, proof_ints)
+
+
+@pytest.mark.slow
+def test_equality_zero_marlin_prove():
+    """Collaborative Marlin proof of the equality-zero protocol circuit
+    (reference `src/marlin.rs:241-262` test_equality_zero)."""
+    from zkmpc_tpu.snark import marlin
+    with scope():
+        cs = ConstraintSystem(FR)
+        a = shared_scalar(0, jax.random.PRNGKey(0))
+        PC.equality_zero_circuit(cs, a, jax.random.PRNGKey(1))
+        index = marlin.setup_and_index(cs, seed=13)
+        proof = marlin.prove(index, cs, jax.random.PRNGKey(2))
+        instance = cs.instance_ints()
+    assert marlin.verify(index, instance, proof)
+
+
+@pytest.mark.slow
+def test_smaller_eq_than_marlin_prove():
+    """Collaborative Marlin proof of the smaller-or-equal circuit
+    (reference `src/marlin.rs:322-346` test_smaller_eq_than)."""
+    from zkmpc_tpu.snark import marlin
+    with scope():
+        bits = king_share(fr([(11 >> i) & 1 for i in range(8)]),
+                          jax.random.PRNGKey(0))
+        cs = ConstraintSystem(FR)
+        PC.smaller_eq_than_circuit(cs, bits, 13)
+        index = marlin.setup_and_index(cs, seed=17)
+        proof = marlin.prove(index, cs, jax.random.PRNGKey(3))
+        instance = cs.instance_ints()
+    assert marlin.verify(index, instance, proof)

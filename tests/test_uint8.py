@@ -61,3 +61,43 @@ def test_crh_gadget_matches_host():
         out.x.enforce_equal(cx)
         out.y.enforce_equal(cy)
         assert cs.is_satisfied_ints()
+
+
+def test_two_to_one_crh_matches_host_and_gadget():
+    """TwoToOneCRH = CRH(left || right) (reference `crh.rs:31-60`,
+    `crh/pedersen/constraints.rs:93-121`)."""
+    from zkmpc_tpu.circuits.pedersen_gadget import (
+        pedersen_two_to_one_crh_gadget)
+    from zkmpc_tpu.crypto.pedersen import (
+        CrhParams, crh_public_ints, two_to_one_crh)
+    from zkmpc_tpu.mpc import bits as B
+    from zkmpc_tpu.mpc.share import MpcFp
+    from zkmpc_tpu.snark.gadgets import Boolean, FpVar
+    from zkmpc_tpu.snark.r1cs import ConstraintSystem
+
+    with scope():
+        cp = CrhParams.sample(16, seed=7)
+        lv, rv = 0b1011, 0b0110
+        lb = [(lv >> i) & 1 for i in range(8)]
+        rb = [(rv >> i) & 1 for i in range(8)]
+        left = king_share(FpArray.from_int(FR, np.asarray(lb, dtype=object)),
+                          jax.random.PRNGKey(2))
+        right = king_share(FpArray.from_int(FR, np.asarray(rb, dtype=object)),
+                           jax.random.PRNGKey(3))
+        pt = two_to_one_crh(cp, left, right)
+        xy = pt.reveal_affine_ints()[0]
+        # host oracle on the concatenated bits
+        exp = crh_public_ints(cp, lb + rb)
+        assert (int(xy[0]), int(xy[1])) == (int(exp[0]), int(exp[1]))
+        # gadget agrees and satisfies
+        cs = ConstraintSystem(FR)
+        lbools = [Boolean.new_witness(cs, B._index_last(left, i))
+                  for i in range(8)]
+        rbools = [Boolean.new_witness(cs, B._index_last(right, i))
+                  for i in range(8)]
+        out = pedersen_two_to_one_crh_gadget(cs, lbools, rbools, cp)
+        cx = FpVar.new_input(cs, MpcFp.const(FR, int(xy[0])))
+        cy = FpVar.new_input(cs, MpcFp.const(FR, int(xy[1])))
+        out.x.enforce_equal(cx)
+        out.y.enforce_equal(cy)
+        assert cs.is_satisfied_ints()

@@ -171,3 +171,11 @@ def pedersen_crh_gadget(cs: ConstraintSystem, in_bits: list, cp
     for i, bit in enumerate(in_bits):
         acc = acc.conditionally_add_constant(bit, cp.generators[i])
     return acc
+
+
+def pedersen_two_to_one_crh_gadget(cs: ConstraintSystem, left_bits: list,
+                                   right_bits: list, cp) -> TEAffineVar:
+    """TwoToOneCRH gadget: concat left/right bit wires, then the windowed
+    CRH (reference `crh/pedersen/constraints.rs:93-121`)."""
+    assert len(left_bits) == len(right_bits)
+    return pedersen_crh_gadget(cs, list(left_bits) + list(right_bits), cp)

@@ -26,12 +26,14 @@ import time
 
 
 def run(zksnark: str, inputs_path: str, n_parties: int = 3,
-        outdir: str = "outputs", slots: int = 8, seed: int = 0) -> bool:
+        outdir: str = "outputs", slots: int = 8, seed: int = 0,
+        backend: str = "semi") -> bool:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
     import numpy as np
 
     from ..circuits import input_circuit
+    from ..config import RunConfig, build_mpc_context
     from ..crypto import pedersen
     from ..mpc.share import MpcContext, mpc_scope, king_share
     from ..ops.limbs import FR, FpArray
@@ -41,6 +43,9 @@ def run(zksnark: str, inputs_path: str, n_parties: int = 3,
     from ..snark.r1cs import ConstraintSystem
     from ..utils import serialize as SER
     from ..utils.timer import timed
+
+    cfg = RunConfig(n_parties=n_parties, backend=backend, zksnark=zksnark,
+                    slots=slots, seed=seed, outdir=outdir)
 
     with open(inputs_path) as f:
         doc = json.load(f)
@@ -77,7 +82,9 @@ def run(zksnark: str, inputs_path: str, n_parties: int = 3,
     r_int = int(jax.random.randint(kr, (), 0, 1 << 16))
     commitment = pedersen.commit_public_ints(pp, x_int, r_int)
 
-    with mpc_scope(MpcContext(StackedTransport(n_parties), backend="semi")):
+    mctx = build_mpc_context(cfg, StackedTransport(n_parties), dealer=ctx,
+                             key=jax.random.fold_in(kpre, 9))
+    with mpc_scope(mctx):
         cs = ConstraintSystem(FR)
         x = _scalar(king_share(_fr([x_int]), kshare))
         r_bits = king_share(_fr([(r_int >> i) & 1 for i in range(16)]),
@@ -108,6 +115,17 @@ def run(zksnark: str, inputs_path: str, n_parties: int = 3,
         else:
             raise SystemExit(f"unknown zksnark {zksnark!r}")
         print(f"prove+verify: {time.time() - t1:.3f}s ok={ok} negative={neg}")
+        if backend == "spdz":
+            # batched SPDZ MAC check over every value opened during the prove
+            from ..mpc import share as MS
+            resid = mctx.drain_mac_check()
+            if resid is not None:
+                s = MS._sum_fp(FpArray(resid.limbs, FR,
+                                       resid.bound).reshape((-1,)))
+                assert bool(np.asarray(s.is_zero()).all()), \
+                    "SPDZ MAC check failed"
+            mctx.assert_group_macs()
+            print("spdz MAC checks passed")
 
     # commitment published like the reference's commitment.json
     os.makedirs(outdir, exist_ok=True)
@@ -149,9 +167,13 @@ def main(argv=None):
     ap.add_argument("--outdir", default="outputs")
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backend", choices=["semi", "spdz"], default="semi",
+                    help="security model: semi-honest (the reference's "
+                         "'honest' feature) or SPDZ malicious-majority "
+                         "('malicious'), selected at runtime")
     args = ap.parse_args(argv)
     ok = run(args.zksnark, args.inputs, args.parties, args.outdir,
-             args.slots, args.seed)
+             args.slots, args.seed, args.backend)
     sys.exit(0 if ok else 1)
 
 

@@ -103,3 +103,28 @@ def crh(cp: CrhParams, in_bits: MpcFp) -> TE.MpcTEPoint:
     ys = np.asarray([g[1] for g in cp.generators[:in_bits.shape[-1]]],
                     dtype=object)
     return TE.tree_sum(TE.select_base(in_bits, (xs, ys)))
+
+
+def two_to_one_crh(cp: CrhParams, left_bits: MpcFp,
+                   right_bits: MpcFp) -> TE.MpcTEPoint:
+    """TwoToOneCRH: hash two equal-length bit strings into one point.
+
+    Mirrors the reference's `TwoToOneCRH` (`mpc-algebra/src/crh.rs:31-60`)
+    with the concat-then-CRH semantics its gadget defines
+    (`crh/pedersen/constraints.rs:93-121`; the reference's protocol-level
+    `evaluate` is `unimplemented!()` — we implement it for real so Merkle
+    trees over committed state work outside circuits too)."""
+    assert left_bits.shape[-1] == right_bits.shape[-1], \
+        "left and right input should be of equal length"
+    both = MpcFp.concat([left_bits, right_bits],
+                        axis=len(left_bits.shape) - 1)
+    return crh(cp, both)
+
+
+def crh_public_ints(cp: CrhParams, bit_ints) -> tuple:
+    """Host oracle: windowed Pedersen CRH over plain 0/1 ints."""
+    acc = SC.TE_NEUTRAL
+    for i, b in enumerate(bit_ints):
+        if b:
+            acc = SC.te_add(acc, cp.generators[i])
+    return acc

@@ -501,23 +501,37 @@ def _bin_add_public(c_bits: FpArray, r_bits: MpcFp, nbits: int) -> MpcFp:
     return _bin_add_shared_public(r_bits, MpcFp(c_bits, PUBLIC), nbits)
 
 
-def _bin_add_shared_public(a_bits: MpcFp, b_bits: MpcFp, nbits: int) -> MpcFp:
-    """Bitwise binary addition (either side shared), carry-lookahead in
-    log-depth (`wire/field.rs` BitAdd/carries).  Output has nbits+1 bits."""
-    # generate g = a*b, propagate q = a + b - 2ab (xor)
+def carries(a_bits: MpcFp, b_bits: MpcFp) -> MpcFp:
+    """Carry-out bit of each position when adding two little-endian bit
+    vectors (reference `BitAdd::carries`, `wire/boolean_field.rs:277-344`;
+    conformance case `mpc-algebra/examples/algebra.rs:326`).  Log-depth
+    parallel-prefix over (generate, propagate) instead of the reference's
+    ripple chain — O(log n) Beaver rounds, each a whole-tensor batch."""
     g = b_and(a_bits, b_bits)
     q = b_xor(a_bits, b_bits)
     # parallel prefix on (g, q): (g2, q2) o (g1, q1) = (g2 + q2*g1, q2*q1)
-    # carries into position i+1 = prefix over [0..i]
     G, Q = g, q
     d = 1
-    n = nbits
+    n = a_bits.shape[-1]
     while d < n:
         G_sh = _shift_by_zero(G, d)
         Q_sh = _shift_by_zero(Q, d, fill_one=True)
         G = G + Q * G_sh
         Q = Q * Q_sh
         d *= 2
+    return G
+
+
+def bit_add(a_bits: MpcFp, b_bits: MpcFp) -> MpcFp:
+    """Binary addition of two little-endian shared bit vectors
+    (reference `BitAdd::bit_add`); output has nbits+1 bits."""
+    return _bin_add_shared_public(a_bits, b_bits, a_bits.shape[-1])
+
+
+def _bin_add_shared_public(a_bits: MpcFp, b_bits: MpcFp, nbits: int) -> MpcFp:
+    """Bitwise binary addition (either side shared), carry-lookahead in
+    log-depth (`wire/field.rs` BitAdd/carries).  Output has nbits+1 bits."""
+    G = carries(a_bits, b_bits)
     carries_in = _shift_one_zero(G)       # carry into bit i (0 for i=0)
     s = _xor3(a_bits, b_bits, carries_in)
     top_carry = _index_last(G, nbits - 1)

@@ -203,6 +203,24 @@ def party_shape(t: T.Transport, batch_shape):
         else tuple(batch_shape)
 
 
+def check_eq(x) -> bool:
+    """Debug util: broadcast a supposedly-public value and assert every
+    party holds the same bits (reference `wire/macros.rs:8-33` check_eq,
+    compiled into debug builds).  Accepts a public MpcFp or a raw FpArray
+    in party layout; returns True or raises."""
+    t = T.current()
+    if isinstance(x, MpcFp):
+        assert x.visibility == PUBLIC, "check_eq is for public values"
+        arr = x.value
+    else:
+        arr = x
+    limbs = _gather_stack(t, arr.limbs)          # [P, ...]
+    same = (limbs == limbs[:1]).all()
+    if not bool(jax.device_get(same)):
+        raise AssertionError("check_eq: parties disagree on a public value")
+    return True
+
+
 # ---------------------------------------------------------------------------
 # MpcFp: secret-shared / public field tensor
 # ---------------------------------------------------------------------------
@@ -447,6 +465,11 @@ class TripleSource:
     def inv_pairs(self, spec: FieldSpec, shape):
         raise NotImplementedError
 
+    def rand_shares(self, spec: FieldSpec, shape):
+        """Authenticated random shared values (SPDZ <r> pairs,
+        `preprocessing.rs:823-878`)."""
+        raise NotImplementedError
+
 
 class DummyTripleSource(TripleSource):
     """INSECURE constant (1,1,1) triples — mirrors the reference's
@@ -523,15 +546,34 @@ def beaver_inv(x: MpcFp) -> MpcFp:
     return r * MpcFp(xr.inv(), PUBLIC)
 
 
+def beaver_div(x: MpcFp, y: MpcFp) -> MpcFp:
+    """Shared division x/y (reference `share/field.rs:162-177`
+    beaver_div/batch_div): mask the divisor with an inverse-pair r, open
+    y*r, then x/y = (x*r) * (y*r)^-1."""
+    c = ctx()
+    r, _ = c.triple_source.inv_pairs(y.spec, y.shape)
+    yr = (y * r).reveal()
+    return (x * r) * MpcFp(yr.inv(), PUBLIC)
+
+
 def rand_shared(key, spec: FieldSpec, shape=()) -> MpcFp:
     """Fresh random shared value: each party samples an independent share
-    (sum of uniform shares is uniform).  Semi-honest backend only — the SPDZ
-    backend must draw randomness from preprocessing (pairs/triples) to get
-    MACs (reference `preprocessing.rs:823`)."""
+    (sum of uniform shares is uniform).
+
+    Under the SPDZ backend shared randomness must carry MACs, so it is drawn
+    from the preprocessing pair pool (`preprocessing.rs:823-878` <r>) when
+    the triple source provides one; otherwise falls back to the dealt-value
+    "cheat" (every party learns r, macs computed locally — the reference's
+    `can_cheat` escape hatch, `channel.rs:171-182`, fine for tests only)."""
     c = ctx()
     t = c.transport
     if c.backend != "semi":
-        raise NotImplementedError("spdz randomness comes from preprocessing pairs")
+        try:
+            return c.triple_source.rand_shares(spec, shape)
+        except NotImplementedError:
+            pass
+        v = R.uniform_fp(key, spec, tuple(shape))
+        return king_share(v, jax.random.fold_in(key, 0x5bd2))
     if t.kind == "stacked":
         sh = R.uniform_fp(key, spec, (t.n_parties,) + tuple(shape))
     else:

@@ -184,7 +184,19 @@ def sw_add_unsafe(p: SWPoint, q: SWPoint) -> SWPoint:
 
 
 def sw_add_complete(p: SWPoint, q: SWPoint) -> SWPoint:
-    """Addition handling all cases (doubling, negation, infinity)."""
+    """Addition handling all cases (doubling, negation, infinity).
+
+    Large coordinate batches (Fp for G1, Fp2 for G2) route to the fused
+    Mosaic kernel (`pallas_point.sw_add_complete_pallas`): one kernel
+    instead of ~40 HLOs, with every intermediate VMEM-resident."""
+    if isinstance(p.x, (FpArray, Fp2Array)):
+        from . import pallas_point as PPT
+        mode = PPT.enabled()
+        if mode is not None:
+            batch = np.broadcast_shapes(p.x.shape, q.x.shape)
+            size = int(np.prod(batch, dtype=np.int64)) if batch else 1
+            if size >= PPT.MIN_PALLAS_POINT_BATCH:
+                return PPT.sw_add_complete_pallas(p, q, mode)
     out, h, r = _sw_add_core(p, q)
     h0 = h.is_zero()
     r0 = r.is_zero()

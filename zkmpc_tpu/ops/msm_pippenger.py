@@ -23,6 +23,8 @@ collaborative Groth16/KZG (SURVEY.md §3 hot loops).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +34,11 @@ from .fp2 import Fp2Array
 from .limbs import FpArray, W as LIMB_W
 
 _tmap = jax.tree_util.tree_map
+
+# Max accumulation lanes.  Wider lanes = fewer sequential bucket steps
+# (each step has ~5ms of fixed gather/relayout overhead on v5e) but more
+# merge-round work (K = nb_total + L partials).  Swept on v5e @ 64k points.
+LANE_CAP = int(os.environ.get("ZKMPC_MSM_LANES", 32768))
 
 
 def _digits(scalars: FpArray, c: int, nwin: int):
@@ -86,7 +93,7 @@ def sw_msm_bucketed(points: SWPoint, scalars: FpArray, c: int = 8,
     # saturated AND put the per-step point-add multiplies over the Pallas
     # mont-mul batch threshold (measured v5e @ 64k points: 16384 lanes 2.7ms
     # vs 4096 lanes 5.8ms).
-    L = int(min(16384, max(64, 2 ** int(np.ceil(np.log2(max(M // 64, 1)))))))
+    L = int(min(LANE_CAP, max(64, 2 ** int(np.ceil(np.log2(max(M // 16, 1)))))))
     S = -(-M // L)
     pad = L * S - M
     SENT = jnp.uint32(0xFFFFFFFF)
@@ -166,24 +173,37 @@ def sw_msm_bucketed(points: SWPoint, scalars: FpArray, c: int = 8,
     grid = _tmap(lambda leaf: leaf.reshape((Bt * nwin, D) + leaf.shape[1:]),
                  grid)
 
-    # suffix-sum walk: sum_d d * S_d  per (batch, window)
+    # bucket combine: tot = sum_d d * S_d = sum_{j>=1} (sum_{d>=j} S_d),
+    # per (batch, window).  Two log2(D)-depth passes of whole-grid adds
+    # (Bt*nwin*D lanes each) instead of the classic 2(D-1) sequential
+    # double-suffix walk — the walk's tiny 2*Bt*nwin-lane adds were 20% of
+    # MSM wall-clock at 64k points (fixed per-step overhead, idle VPU).
+    # fori_loop + dynamic roll so each pass has ONE add_complete in the
+    # graph (same trick as merge_body above).
+    iota_d = jnp.arange(D, dtype=jnp.int32)[None, :]
+    log2d = int(np.ceil(np.log2(max(D, 2))))
+
+    def _rolled(pt: SWPoint, d) -> SWPoint:
+        """pt[:, j] <- pt[:, j+d] along buckets, infinity past the end."""
+        sh = _tmap(lambda leaf: jnp.roll(leaf, -d, axis=1), pt)
+        return SWPoint(sh.x, sh.y, sh.z, sh.inf | (iota_d + d >= D))
+
+    def suffix_body(r, run):           # run[:, j] = sum_{d' >= j} S_{d'}
+        d = jnp.left_shift(1, r)
+        return _tighten2(sw_add_complete(run, _rolled(run, d)))
+
+    run = jax.lax.fori_loop(0, log2d, suffix_body, _tighten2(grid))
+    # drop j=0 (d * S_d has no d=0 term), then reduce over buckets
+    run = SWPoint(run.x, run.y, run.z, run.inf.at[:, 0].set(True))
+    tot_all = jax.lax.fori_loop(0, log2d, suffix_body, run)
+    tot = _tmap(lambda leaf: leaf[:, 0], tot_all)
+
+    # Horner over windows (fori over windows; inner fori over c doublings)
     def col(pt, j):
         return _tmap(
             lambda leaf: jax.lax.dynamic_index_in_dim(
                 leaf, j, axis=1, keepdims=False), pt)
 
-    zero_bw = _point_bound2(SWPoint.infinity_like(col(grid, 0)))
-
-    def suffix_body(j, carry):
-        run, tot = carry
-        dd = D - 1 - j
-        run = _tighten2(sw_add_complete(run, col(grid, dd)))
-        tot = _tighten2(sw_add_complete(tot, run))
-        return run, tot
-
-    _, tot = jax.lax.fori_loop(0, D - 1, suffix_body, (zero_bw, zero_bw))
-
-    # Horner over windows (fori over windows; inner fori over c doublings)
     win = _tmap(lambda leaf: leaf.reshape((Bt, nwin) + leaf.shape[1:]), tot)
     res0 = col(win, nwin - 1)
 

@@ -405,6 +405,25 @@ class SheTripleSource:
             out.append(MpcFp(vals, SHARED, macs if use_mac else None))
         return tuple(out)
 
+    def rand_shares(self, spec, shape):
+        """Authenticated random shared values from the <r> pair pool
+        (`preprocessing.rs:823-878`); used for SPDZ proof randomness."""
+        assert spec is FR
+        total = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        n = self.ctx.params.n
+        vals_b, macs_b = [], []
+        got = 0
+        while got < total:
+            self.key, k = jax.random.split(self.key)
+            (r_i, macs), _ = pair(self.ctx, k)
+            vals_b.append(r_i)
+            macs_b.append(macs)
+            got += n
+        vals = _shape_to(FpArray.concat(vals_b, axis=1), shape, total)
+        macs = _shape_to(FpArray.concat(macs_b, axis=1), shape, total)
+        return MpcFp(vals, SHARED,
+                     macs if _current_backend_spdz() else None)
+
 
 def _current_backend_spdz():
     from ..mpc.share import ctx as mpc_ctx

@@ -61,6 +61,45 @@ def setup(max_degree: int, seed: int = 0) -> KzgSrs:
     return KzgSrs(powers, g2, SC.g2_mul(g2, tau))
 
 
+def save_srs(srs: KzgSrs, path: str) -> None:
+    """Persist the universal SRS as 0x-hex JSON.  Mirrors the reference's
+    Marlin SRS save/load (`src/marlin.rs:371-376,456-478`) so large one-time
+    setups (e.g. the werewolf RoleAssignment SRS) are reusable across runs."""
+    import json
+    import os
+
+    from ..ops.limbs import FQ
+    from ..utils.serialize import field_to_hex
+
+    def hx(v):
+        return field_to_hex(int(v), FQ)
+
+    doc = {
+        "powers": [[hx(x), hx(y)] for (x, y) in srs.powers],
+        "g2": [[hx(c) for c in co] for co in srs.g2],
+        "beta_g2": [[hx(c) for c in co] for co in srs.beta_g2],
+    }
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def load_srs(path: str) -> KzgSrs:
+    import json
+
+    from ..utils.serialize import hex_to_field
+
+    with open(path) as f:
+        doc = json.load(f)
+    powers = [(hex_to_field(x), hex_to_field(y)) for x, y in doc["powers"]]
+    g2 = tuple(tuple(hex_to_field(c) for c in co) for co in doc["g2"])
+    beta_g2 = tuple(tuple(hex_to_field(c) for c in co)
+                    for co in doc["beta_g2"])
+    return KzgSrs(powers, g2, beta_g2)
+
+
 def commit(srs: DeviceKzgSrs, coeffs: MpcFp) -> MpcSWPoint:
     """coeffs: [..., d] (shared or public) -> commitment point(s)."""
     d = coeffs.shape[-1]
