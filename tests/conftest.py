@@ -19,26 +19,12 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the test suite is compile-dominated (hundreds
 # of small limb kernels), so cache across runs.  The cache dir is keyed by a
-# host CPU fingerprint: XLA:CPU AOT results compiled on a machine with
-# different vector extensions SEGFAULT when loaded (observed: avx10/amx host
-# artifacts crashing pjit compile on a plain avx512 host).
-def _host_fingerprint():
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+# host fingerprint (model + flags + jaxlib version) — XLA:CPU AOT results
+# compiled for a different microarchitecture SEGFAULT when loaded; see
+# zkmpc_tpu/utils/cachedir.py for the observed failure mode.
+from zkmpc_tpu.utils import cachedir as _cachedir  # noqa: E402
 
-
-jax.config.update("jax_compilation_cache_dir",
-                  f"/root/.cache/jax_zkmpc_{_host_fingerprint()}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+_cachedir.configure(jax)
 
 import gc  # noqa: E402
 

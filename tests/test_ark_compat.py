@@ -164,6 +164,21 @@ def test_marlin_fs_init_layout():
     assert fs.seed == want
 
 
+def test_groth16_proof_serialization_layout():
+    """192-byte ark-groth16 proof layout: G1(48) || G2(96) || G1(48),
+    compressed with SWFlags.  TODO(golden): byte-compare against a Rust
+    `proof.serialize()` once a toolchain is available — the layout pieces
+    are each pinned above."""
+    g1 = tuple(int(c) for c in SC.G1_GEN)
+    g2 = SC.G2_GEN
+    g2pt = ((int(g2[0][0]), int(g2[0][1])), (int(g2[1][0]), int(g2[1][1])))
+    blob = ark.groth16_proof_bytes(g1, g2pt, None)
+    assert len(blob) == 192
+    assert blob[:48] == g1_compressed(g1)
+    assert blob[48:144] == g2_compressed(g2pt)
+    assert blob[144:] == g1_compressed(None)
+
+
 def test_g1_affine_tobytes_layout():
     gen = tuple(int(c) for c in SC.G1_GEN)
     b = ark.g1_affine_to_bytes(gen)

@@ -4,11 +4,14 @@ import random
 
 import jax
 import numpy as np
+import pytest
 
 from zkmpc_tpu.mpc.share import MpcContext, MpcFp, king_share, mpc_scope
 from zkmpc_tpu.ops.limbs import FR, FpArray
 from zkmpc_tpu.parallel.transport import StackedTransport
 from zkmpc_tpu.snark import kzg
+
+pytestmark = pytest.mark.slow  # compile-heavy prover tier
 
 P = FR.p
 

@@ -5,6 +5,7 @@ FFT/MSM across devices; here each party's pod slice does)."""
 import random
 
 import numpy as np
+import pytest
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as PS
@@ -16,6 +17,8 @@ from zkmpc_tpu.ops.limbs import FR, FQ, FpArray
 from zkmpc_tpu.ops.ntt import Domain
 from zkmpc_tpu.parallel import sharded
 from zkmpc_tpu.spec import curves as S
+
+pytestmark = pytest.mark.slow  # compile-heavy prover tier
 
 NCHIPS = 4
 P = params.FR_MODULUS

@@ -8,6 +8,8 @@ import pytest
 from zkmpc_tpu.ops.limbs import FR, MNT4Q, FpArray
 from zkmpc_tpu.she import bgv, preprocessing, ring
 
+pytestmark = pytest.mark.slow  # compile-heavy prover tier
+
 P = FR.p
 N = 8
 

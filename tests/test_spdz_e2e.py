@@ -1,0 +1,145 @@
+"""SPDZ malicious-majority end-to-end on REAL SHE preprocessing.
+
+Closes the loop the reference leaves open (its online mul always uses
+`DummyFieldTripleSource`, `wire/field.rs:44-63`): here the full collaborative
+Groth16 prove runs with `SheTripleSource` serving authenticated field AND
+group Beaver triples, and the batched SPDZ MAC checks
+(`share/spdz.rs:125-196,424-489`, "Pragmatic MPC 6.6.2") are verified to be
+NON-vacuous: the queues must contain residues, the residues must open to
+zero/infinity, and a tampered share must trip the check.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkmpc_tpu.config import RunConfig, build_mpc_context
+from zkmpc_tpu.mpc import share as MS
+from zkmpc_tpu.mpc.group import MpcSWPoint
+from zkmpc_tpu.mpc.share import MpcFp, SHARED, king_share, mpc_scope
+from zkmpc_tpu.ops import msm as M
+from zkmpc_tpu.ops.curve import SWPoint, sw_add_complete
+from zkmpc_tpu.ops.limbs import FR, FpArray
+from zkmpc_tpu.parallel.transport import StackedTransport
+from zkmpc_tpu.she import bgv, preprocessing as PP
+from zkmpc_tpu.snark import groth16
+from zkmpc_tpu.snark.r1cs import ConstraintSystem
+from zkmpc_tpu.spec import curves as SC
+
+pytestmark = pytest.mark.slow  # compile-heavy prover tier
+
+P = FR.p
+N_SLOTS = 4
+
+
+def fp(v):
+    return FpArray.from_int(FR, np.asarray(v, dtype=object))
+
+
+@pytest.fixture(scope="module")
+def dealer():
+    params = bgv.SheParams(N_SLOTS)
+    d = PP.make_dealer(params, 3, jax.random.PRNGKey(0))
+    PP.initialize(d, jax.random.PRNGKey(1))
+    return d
+
+
+def spdz_ctx(dealer, key=7):
+    return build_mpc_context(RunConfig(backend="spdz", n_parties=3),
+                             StackedTransport(3), dealer=dealer,
+                             key=jax.random.PRNGKey(key))
+
+
+def test_spdz_group_beaver_scale_she_triples(dealer):
+    """shared_point.scale(shared_scalar) through SheTripleSource.group_triples
+    (the path that crashed in round 2: `mpc/group.py:211`)."""
+    c = spdz_ctx(dealer, 10)
+    with mpc_scope(c):
+        gen = SWPoint.g1_from_affine_ints([SC.G1_GEN])[0]
+        x = king_share(fp(3), jax.random.PRNGKey(31))
+        y = king_share(fp(5), jax.random.PRNGKey(32))
+        Ppt = MpcSWPoint.from_public(gen).scale(x)   # shared, MAC'd
+        assert Ppt.mac is not None
+        Q = Ppt.scale(y)                             # group Beaver via SHE
+        assert Q.mac is not None
+        opened = Q.reveal()
+        got = opened[0:1].to_affine_ints()[0]
+        want = SC.g1_mul(SC.G1_GEN, 15)
+        assert (int(got[0]), int(got[1])) == (int(want[0]), int(want[1]))
+        assert c.group_mac_residue_count > 0
+        c.assert_field_macs(require_nonempty=True)
+        c.assert_group_macs(require_nonempty=True)
+
+
+def test_spdz_groth16_prove_with_she_triples(dealer):
+    """Full collaborative Groth16 prove, every triple from preprocessing;
+    field and group MAC queues must be non-empty and verify."""
+    from test_groth16 import build_mul_circuit
+
+    c = spdz_ctx(dealer, 11)
+    with mpc_scope(c):
+        cs = ConstraintSystem(FR)
+        a = king_share(fp(7), jax.random.PRNGKey(21))
+        b = king_share(fp(6), jax.random.PRNGKey(22))
+        c_pub = MpcFp.const(FR, 42)
+        build_mul_circuit(cs, a, b, c_pub)
+        assert cs.is_satisfied_ints()
+        pk = groth16.setup(cs, seed=9)
+        proof = groth16.prove(pk.device(), cs, jax.random.PRNGKey(43))
+        pints = groth16.proof_to_ints(proof)
+        instance = cs.instance_ints()
+        assert c.mac_residue_count > 0, "field MAC check is vacuous"
+        assert c.group_mac_residue_count > 0, "group MAC check is vacuous"
+        c.assert_field_macs(require_nonempty=True)
+        c.assert_group_macs(require_nonempty=True)
+    assert groth16.verify(pk.vk, instance, pints)
+
+
+def test_spdz_tampered_field_share_trips_mac(dealer):
+    """A party adding 1 to its additive share (keeping its MAC share) must
+    fail the batched check (`spdz.rs:125-134`)."""
+    c = spdz_ctx(dealer, 12)
+    with mpc_scope(c):
+        x = king_share(fp(5), jax.random.PRNGKey(41))
+        mask = np.zeros(x.value.shape, dtype=bool)
+        mask[1] = True                                 # party 1 cheats
+        tampered = FpArray.select(jnp.asarray(mask),
+                                  x.value + FpArray.ones(FR, x.value.shape),
+                                  x.value)
+        bad = MpcFp(tampered, SHARED, x.mac)
+        opened = bad.reveal()
+        assert int(np.asarray(opened.to_ints()).reshape(-1)[0]) == 6
+        with pytest.raises(AssertionError, match="field MAC"):
+            c.assert_field_macs(require_nonempty=True)
+
+
+def test_spdz_tampered_group_share_trips_mac(dealer):
+    """Same for a group share: party 1 adds G to its point share."""
+    c = spdz_ctx(dealer, 13)
+    with mpc_scope(c):
+        gen = SWPoint.g1_from_affine_ints([SC.G1_GEN])[0]
+        s = king_share(fp(9), jax.random.PRNGKey(51))
+        Q = MpcSWPoint.from_public(gen).scale(s)
+        assert Q.mac is not None
+        mask = np.zeros(Q.point.shape, dtype=bool)
+        mask[1] = True
+        gplus = sw_add_complete(Q.point, M._bcast_sw(gen, Q.point.shape))
+        badpt = SWPoint.select(jnp.asarray(mask), gplus, Q.point)
+        bad = MpcSWPoint(badpt, SHARED, Q.mac)
+        bad.reveal()
+        with pytest.raises(AssertionError, match="group MAC"):
+            c.assert_group_macs(require_nonempty=True)
+
+
+def test_mixed_mac_group_add_rejected(dealer):
+    """Adding a MAC'd group share to a MAC-less one must raise, not silently
+    drop authentication (round-2 weakness: `mpc/group.py:104`)."""
+    c = spdz_ctx(dealer, 14)
+    with mpc_scope(c):
+        gen = SWPoint.g1_from_affine_ints([SC.G1_GEN])[0]
+        s = king_share(fp(2), jax.random.PRNGKey(61))
+        Q = MpcSWPoint.from_public(gen).scale(s)        # MAC'd
+        bare = MpcSWPoint(Q.point, SHARED, None)        # MAC-less
+        with pytest.raises(ValueError, match="MAC"):
+            _ = Q + bare

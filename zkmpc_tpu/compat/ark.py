@@ -239,6 +239,21 @@ class FiatShamirRng:
         return fr_rand(self.r)
 
 
+def groth16_proof_bytes(a_pt, b_pt, c_pt) -> bytes:
+    """ark-groth16 `Proof::serialize` (CanonicalSerialize derive, field
+    order a, b, c): compressed G1 (48) + compressed G2 (96) + compressed
+    G1 (48) = 192 bytes.  a_pt/c_pt: (x, y) ints or None; b_pt:
+    ((x0, x1), (y0, y1)) or None."""
+    return g1_compressed(a_pt) + g2_compressed(b_pt) + g1_compressed(c_pt)
+
+
+def groth16_proof_from_ints(proof_ints) -> bytes:
+    """From this repo's `groth16.proof_to_ints` output
+    ((ax, ay), ((bx0, bx1), (by0, by1)), (cx, cy))."""
+    a, b, c = proof_ints
+    return groth16_proof_bytes(a, b, c)
+
+
 def marlin_fs_init(index_vk_bytes: bytes, public_input_ints) -> FiatShamirRng:
     """Transcript head: H(PROTOCOL_NAME || index_vk || public_input)
     (`marlin/src/lib.rs:163,346`); public inputs serialize as full-width Fr

@@ -354,6 +354,32 @@ def less_than_many(pairs, key) -> list:
     return lts
 
 
+def two_bit_lookup(bits, table) -> FpVar:
+    """out = table[b0 + 2*b1] with ONE constraint (reference
+    `mpc_select.rs:69` MpcTwoBitLookupGadget / ark TwoBitLookupGadget).
+
+    bits: [b0, b1] Booleans (LSB first); table: 4 public ints.
+    Constraint: b1 * (b0*(c3-c2-c1+c0) + (c2-c0)) = out - b0*(c1-c0) - c0.
+    """
+    b0, b1 = bits
+    cs = b0.var.cs
+    p = cs.spec.p
+    c0, c1, c2, c3 = (int(t) % p for t in table)
+    b0v, b1v = b0.var.value, b1.var.value
+    prod = b0v * b1v                        # Beaver when both shared
+    val = (MpcFp.const(cs.spec, c0)
+           + b0v * MpcFp.const(cs.spec, (c1 - c0) % p)
+           + b1v * MpcFp.const(cs.spec, (c2 - c0) % p)
+           + prod * MpcFp.const(cs.spec, (c3 - c2 - c1 + c0) % p))
+    out = FpVar.new_witness(cs, val)
+    a_lc = b1.var.lc
+    b_lc = b0.var.lc.scale((c3 - c2 - c1 + c0) % p) + \
+        LC.constant((c2 - c0) % p)
+    c_lc = out.lc - b0.var.lc.scale((c1 - c0) % p) - LC.constant(c0)
+    cs.enforce(a_lc, b_lc, c_lc)
+    return out
+
+
 def less_than_gadget(a: FpVar, b: FpVar, key) -> Boolean:
     """Allocate [a < b] (signed interval semantics) with correctness
     constraints via the half-test decomposition (`mpc_fp_cmp.rs:19-103`)."""
