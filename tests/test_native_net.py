@@ -105,6 +105,20 @@ def test_atomic_broadcast():
         assert res[i] == [bytes([j]) * 6 for j in range(3)]
 
 
+def test_atomic_broadcast_arrays():
+    """Array-level commit-then-open on the socket transport; the SPMD
+    transports' structural equivalent is `Transport.atomic_broadcast`."""
+    def fn(i, net):
+        t = SocketTransport(net)
+        out = t.atomic_broadcast(np.full((4,), i, dtype=np.uint32))
+        return np.asarray(out)
+
+    res = run_parties(3, fn)
+    want = np.stack([np.full((4,), j, dtype=np.uint32) for j in range(3)])
+    for r in res:
+        assert (r == want).all()
+
+
 def test_stats_counters():
     def fn(i, net):
         net.broadcast_bytes(b"x" * 100)

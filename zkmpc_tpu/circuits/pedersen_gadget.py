@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import params
+from ..ops.limbs import FpArray
 from ..snark.gadgets import Boolean, FpVar
 from ..snark.r1cs import LC, ConstraintSystem
 from ..spec import curves as SC
@@ -67,13 +68,31 @@ class TEAffineVar:
         return TEAffineVar(x3, y3)
 
     def conditionally_add_constant(self, bit: Boolean, xy) -> "TEAffineVar":
-        """self + (bit ? constant point : neutral)."""
+        """self + (bit ? constant point : neutral).
+
+        Selecting between a CONSTANT point and the neutral is linear in the
+        bit — cx = px*b, cy = 1 + (py-1)*b — so the select costs zero
+        constraints; only the complete add pays."""
         cs = self.x.cs
-        cx = FpVar.conditionally_select(
-            bit, FpVar.constant(cs, int(xy[0])), FpVar.constant(cs, 0))
-        cy = FpVar.conditionally_select(
-            bit, FpVar.constant(cs, int(xy[1])), FpVar.constant(cs, 1))
+        from ..mpc.share import MpcFp
+        px, py1 = int(xy[0]) % P, (int(xy[1]) - 1) % P
+        bval = bit.var.value
+        cx = FpVar(cs, bit.var.lc.scale(px), bval * MpcFp.const(cs.spec, px))
+        cy = FpVar(cs, LC.constant(1) + bit.var.lc.scale(py1),
+                   MpcFp.const(cs.spec, 1) + bval * MpcFp.const(cs.spec, py1))
         return self.add(TEAffineVar(cx, cy))
+
+    def two_bit_window_add_constant(self, bits, p0, p1) -> "TEAffineVar":
+        """self + (b0?p0:0) + (b1?p1:0) via a 4-entry table lookup per
+        coordinate (ark's TwoBitLookup precomputed-window trick that gives
+        the reference its ~5 constraints/bit Pedersen density;
+        `mpc_select.rs:69`): 2 lookup constraints + one complete add per
+        BIT PAIR instead of an add per bit."""
+        from ..snark.gadgets import two_bit_lookup
+        table = [SC.TE_NEUTRAL, p0, p1, SC.te_add(p0, p1)]
+        tx = two_bit_lookup(bits, [t[0] for t in table])
+        ty = two_bit_lookup(bits, [t[1] for t in table])
+        return self.add(TEAffineVar(tx, ty))
 
     def double(self) -> "TEAffineVar":
         """Complete formulas double correctly."""
@@ -152,15 +171,173 @@ def pedersen_commit_gadget(cs: ConstraintSystem, m_bits: list, r_bits: list,
     """C = sum m_i G_i + sum r_j 2^j H as circuit wires.
 
     m_bits/r_bits: lists of Booleans; pp: crypto.pedersen.PedersenParams.
-    """
-    acc = TEAffineVar.neutral(cs)
-    for i, bit in enumerate(m_bits):
-        acc = acc.conditionally_add_constant(bit, pp.generators[i])
+
+    Constraint shape: bits are folded two at a time through precomputed
+    4-entry window tables (2 lookup constraints + 1 complete add per pair
+    ~ 4.5 constraints/bit), matching the reference Pedersen gadget's
+    windowed density (`crypto-primitives commitment/pedersen/constraints.rs`
+    + ark TwoBitLookupGadget).
+
+    Witness shape (the tpu-first part): instead of one protocol round per
+    gadget call (506 sequential conditional adds in the reference's
+    synthesis), ALL pair lookups run as one batched Beaver round and the
+    window points are summed by a log-depth TREE of batched complete adds —
+    constraint count identical (addition reassociates; the formulas are
+    complete), protocol rounds drop from O(bits) to O(log bits), and the
+    traced graph is ~64x smaller."""
+    h_pows = []
     h = pp.blind_base
-    for j, bit in enumerate(r_bits):
-        acc = acc.conditionally_add_constant(bit, h)
+    for _ in range(len(r_bits)):
+        h_pows.append(h)
         h = SC.te_add(h, h)
-    return acc
+    bits = list(m_bits) + list(r_bits)
+    bases = list(pp.generators[:len(m_bits)]) + h_pows
+    if len(bits) == 0:
+        return TEAffineVar.neutral(cs)
+    if len(bits) < 8:
+        acc = TEAffineVar.neutral(cs)
+        i = 0
+        while i + 1 < len(bits):
+            acc = acc.two_bit_window_add_constant(
+                [bits[i], bits[i + 1]], bases[i], bases[i + 1])
+            i += 2
+        if i < len(bits):
+            acc = acc.conditionally_add_constant(bits[i], bases[i])
+        return acc
+    leaves = _window_lookup_leaves(cs, bits, bases)
+    while len(leaves[0]) > 1:
+        leaves = _te_tree_level(cs, leaves)
+    x_vars, y_vars = leaves[0], leaves[1]
+    return TEAffineVar(x_vars[0], y_vars[0])
+
+
+def _window_lookup_leaves(cs, bits, bases):
+    """Batched 2-bit window lookups: ONE Beaver round computes every pair
+    product b0*b1; each pair contributes one leaf point via 2 lookup
+    constraints.  A trailing odd bit becomes a constraint-free linear leaf
+    (select between a constant and the neutral is affine in the bit)."""
+    from ..mpc import bits as B
+    from ..mpc.share import MpcFp
+    from ..snark.gadgets import _stack_values
+
+    p = cs.spec.p
+    npairs = len(bits) // 2
+    tables = []
+    for i in range(npairs):
+        p0, p1 = bases[2 * i], bases[2 * i + 1]
+        tables.append([SC.TE_NEUTRAL, p0, p1, SC.te_add(p0, p1)])
+
+    b0v = _stack_values([bits[2 * i].var.value for i in range(npairs)])
+    b1v = _stack_values([bits[2 * i + 1].var.value for i in range(npairs)])
+    prod = b0v * b1v                               # ONE batched Beaver round
+
+    def coeff(sel):
+        import numpy as np
+        return MpcFp.from_public(FpArray.from_int(
+            cs.spec, np.asarray([sel(t) for t in tables], dtype=object)))
+
+    out_vals = {}
+    for coord in (0, 1):
+        c0 = coeff(lambda t: int(t[0][coord]) % p)
+        d1 = coeff(lambda t: (int(t[1][coord]) - int(t[0][coord])) % p)
+        d2 = coeff(lambda t: (int(t[2][coord]) - int(t[0][coord])) % p)
+        d3 = coeff(lambda t: (int(t[3][coord]) - int(t[2][coord])
+                              - int(t[1][coord]) + int(t[0][coord])) % p)
+        out_vals[coord] = c0 + b0v * d1 + b1v * d2 + prod * d3
+
+    x_vars = _alloc_vec(cs, out_vals[0])
+    y_vars = _alloc_vec(cs, out_vals[1])
+    # lookup constraint per coordinate (ark TwoBitLookupGadget shape):
+    # b1 * (b0*(c3-c2-c1+c0) + (c2-c0)) = out - b0*(c1-c0) - c0
+    for i in range(npairs):
+        b0, b1 = bits[2 * i], bits[2 * i + 1]
+        for coord, ovars in ((0, x_vars), (1, y_vars)):
+            t = tables[i]
+            c0, c1, c2, c3 = (int(t[j][coord]) % p for j in range(4))
+            b_lc = b0.var.lc.scale((c3 - c2 - c1 + c0) % p) + \
+                LC.constant((c2 - c0) % p)
+            c_lc = ovars[i].lc - b0.var.lc.scale((c1 - c0) % p) - \
+                LC.constant(c0)
+            cs.enforce(b1.var.lc, b_lc, c_lc)
+
+    if len(bits) % 2:
+        bit, base = bits[-1], bases[len(bits) - 1]
+        px, py1 = int(base[0]) % p, (int(base[1]) - 1) % p
+        bval = bit.var.value
+        lx = FpVar(cs, bit.var.lc.scale(px),
+                   bval * MpcFp.const(cs.spec, px))
+        ly = FpVar(cs, LC.constant(1) + bit.var.lc.scale(py1),
+                   MpcFp.const(cs.spec, 1) + bval * MpcFp.const(cs.spec, py1))
+        x_vars.append(lx)
+        y_vars.append(ly)
+    return (x_vars, y_vars)
+
+
+def _alloc_vec(cs, vals):
+    """Allocate one witness wire per element of a batched MpcFp [m]."""
+    from ..mpc import bits as B
+    vs = cs.new_witness_vec(vals)
+    return [FpVar(cs, LC.of(v), B._index_last(vals, i))
+            for i, v in enumerate(vs)]
+
+
+def _te_tree_level(cs, level):
+    """One tree level: batched complete adds of point pairs.  4 protocol
+    rounds regardless of width (one fused Beaver round for u,v,xy,yx; one
+    for t; one batched inverse; one fused round for x3,y3)."""
+    from ..mpc import bits as B
+    from ..mpc.share import MpcFp, PUBLIC, beaver_inv
+    from ..snark.gadgets import _stack_values
+
+    x_vars, y_vars = level
+    m = len(x_vars)
+    m2 = m // 2
+    ax, bx = x_vars[:m2], x_vars[m2:2 * m2]
+    ay, by = y_vars[:m2], y_vars[m2:2 * m2]
+    axv = _stack_values([v.value for v in ax])
+    ayv = _stack_values([v.value for v in ay])
+    bxv = _stack_values([v.value for v in bx])
+    byv = _stack_values([v.value for v in by])
+
+    lhs = MpcFp.concat([axv, ayv, axv, ayv], axis=0)
+    rhs = MpcFp.concat([bxv, byv, byv, bxv], axis=0)
+    prods = lhs * rhs                              # ONE fused Beaver round
+    u_v, v_v = prods[0:m2], prods[m2:2 * m2]
+    xy_v, yx_v = prods[2 * m2:3 * m2], prods[3 * m2:4 * m2]
+    t_v = u_v * v_v
+    d_fp = MpcFp.const(cs.spec, ED_D)
+    dt = t_v * d_fp
+    one = MpcFp.const(cs.spec, 1)
+    denx = one + dt
+    deny = one - dt
+    inv = beaver_inv(MpcFp.concat([denx, deny], axis=0))
+    num = MpcFp.concat([xy_v + yx_v, v_v + u_v], axis=0)
+    res = num * inv                                # ONE fused Beaver round
+    x3_v, y3_v = res[0:m2], res[m2:2 * m2]
+
+    u_w = _alloc_vec(cs, u_v)
+    v_w = _alloc_vec(cs, v_v)
+    t_w = _alloc_vec(cs, t_v)
+    xy_w = _alloc_vec(cs, xy_v)
+    yx_w = _alloc_vec(cs, yx_v)
+    x3_w = _alloc_vec(cs, x3_v)
+    y3_w = _alloc_vec(cs, y3_v)
+    for i in range(m2):
+        cs.enforce(ax[i].lc, bx[i].lc, u_w[i].lc)
+        cs.enforce(ay[i].lc, by[i].lc, v_w[i].lc)
+        cs.enforce(u_w[i].lc, v_w[i].lc, t_w[i].lc)
+        cs.enforce(ax[i].lc, by[i].lc, xy_w[i].lc)
+        cs.enforce(ay[i].lc, bx[i].lc, yx_w[i].lc)
+        denx_lc = LC.constant(1) + t_w[i].lc.scale(ED_D % cs.spec.p)
+        deny_lc = LC.constant(1) - t_w[i].lc.scale(ED_D % cs.spec.p)
+        cs.enforce(x3_w[i].lc, denx_lc, xy_w[i].lc + yx_w[i].lc)
+        cs.enforce(y3_w[i].lc, deny_lc, v_w[i].lc + u_w[i].lc)
+
+    nx, ny = x3_w, y3_w
+    if m % 2:                                      # odd point rides up
+        nx = nx + [x_vars[-1]]
+        ny = ny + [y_vars[-1]]
+    return (nx, ny)
 
 
 def pedersen_crh_gadget(cs: ConstraintSystem, in_bits: list, cp

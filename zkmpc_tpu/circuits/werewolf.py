@@ -39,15 +39,34 @@ from .pedersen_gadget import TEAffineVar, pedersen_com_circuit, \
 
 
 def key_publicize_circuit(cs: ConstraintSystem, pk_x_wires, pk_y_wires,
-                          is_ft_wires, sum_x_pub: int, sum_y_pub: int):
+                          is_ft_wires, sum_x_pub: int, sum_y_pub: int,
+                          pedersen_pp=None, xy_randomness=None,
+                          xy_commitments=None, key=None, com_nbits=None):
     """Witness per-player (pk-or-dummy x, y, is_fortune_teller); enforce the
     is_ft flags boolean and that sum_i pk_i * is_ft_i matches the published
     aggregate key.  (The reference computes the sums but leaves them
     unconstrained, `werewolf.rs:118-136`; binding them to the published key
-    is the intended semantics of the key-publicize proof.)"""
+    is the intended semantics of the key-publicize proof.)
+
+    With pedersen_pp + xy_randomness + xy_commitments set, each pk_x and
+    pk_y witness is additionally bound to a published Pedersen commitment —
+    the reference's `verify_commitments` (`werewolf.rs:48-78`: one
+    PedersenComCircuit per x and per y input), which is what brings the
+    reference's KeyPublicizeCircuit to 15,266 constraints at 3 players.
+    xy_randomness/xy_commitments: lists of 2n entries (x's then y's) of
+    randomness-bit MpcFp vectors and public commitment points."""
     x_vars = [FpVar.new_witness(cs, w) for w in pk_x_wires]
     y_vars = [FpVar.new_witness(cs, w) for w in pk_y_wires]
     ft_vars = [FpVar.new_witness(cs, w) for w in is_ft_wires]
+    if pedersen_pp is not None:
+        import jax
+        for i, var in enumerate(x_vars + y_vars):
+            r_bits = xy_randomness[i]
+            r_bools = [Boolean.new_witness(cs, B._index_last(r_bits, j))
+                       for j in range(r_bits.shape[-1])]
+            pedersen_com_circuit(cs, var, r_bools, xy_commitments[i],
+                                 pedersen_pp, jax.random.fold_in(key, i),
+                                 nbits=com_nbits)
     for b in ft_vars:
         cs.enforce(b.lc, LC.constant(1) - b.lc, LC({}))     # b in {0,1}
     xs = mul_many([(x, f) for x, f in zip(x_vars, ft_vars)])
@@ -70,18 +89,36 @@ def key_publicize_circuit(cs: ConstraintSystem, pk_x_wires, pk_y_wires,
 
 def divination_circuit(cs: ConstraintSystem, is_werewolf_wires,
                        is_target_wires, r_bits_wire: MpcFp,
-                       elgamal_pk_xy, c1_xy, c2_xy, key):
+                       elgamal_pk_xy, c1_xy, c2_xy, key,
+                       pedersen_pp=None, wire_randomness=None,
+                       wire_commitments=None, com_nbits=None):
     """In-circuit: target-is-werewolf bit selects M in {G, 0}; ElGamal
     encryption of M with witness randomness bits must equal the public
     ciphertext (c1, c2).
 
     is_werewolf_wires / is_target_wires: per-player {0,1} wires;
     r_bits_wire: shared randomness bits [nbits]; elgamal_pk_xy, c1_xy, c2_xy:
-    public affine points (pk and opened ciphertext)."""
+    public affine points (pk and opened ciphertext).
+
+    With pedersen_pp set, every is_werewolf and is_target witness is bound
+    to a published Pedersen commitment — the reference's
+    `verify_commitments` (`werewolf.rs:149-179`: one PedersenComCircuit per
+    flag, 2n commitments), which dominates the reference's 22,249-constraint
+    count at 3 players.  wire_randomness/wire_commitments: 2n entries
+    (is_werewolf's then is_target's)."""
     from ..spec import curves as SC
 
     ww = [Boolean.new_witness(cs, w) for w in is_werewolf_wires]
     tg = [Boolean.new_witness(cs, w) for w in is_target_wires]
+    if pedersen_pp is not None:
+        import jax
+        for i, bvar in enumerate(ww + tg):
+            r_bits = wire_randomness[i]
+            r_bools = [Boolean.new_witness(cs, B._index_last(r_bits, j))
+                       for j in range(r_bits.shape[-1])]
+            pedersen_com_circuit(cs, bvar.var, r_bools, wire_commitments[i],
+                                 pedersen_pp, jax.random.fold_in(key, 64 + i),
+                                 nbits=com_nbits)
     is_wt = [Boolean(v) for v in
              mul_many([(a.var, b.var) for a, b in zip(ww, tg)])]
     hit = is_wt[0]

@@ -44,18 +44,29 @@ def run(inputs_path: str, outdir: str = "outputs", n_parties: int = 3,
 
     with open(inputs_path) as f:
         doc = json.load(f)
-    # party i's peculiar input: x (and y for party 1), like online.rs's
-    # per-party inputs; we prove a*b with a owned by party 0, b by party 1
-    a_int = int(doc.get("x", 3))
-    b_int = int(doc.get("y", 5))
     p = FR.p
+    # party i's peculiar input (`online.rs:87-125`): party 0 owns x, party 1
+    # owns y.  In socket mode a party consults the inputs file ONLY for its
+    # own value — non-owners never see the plaintext.
+    if party_id is None:
+        a_int, b_int = int(doc.get("x", 3)), int(doc.get("y", 5))
+    else:
+        a_int = int(doc.get("x", 3)) if party_id == 0 else None
+        b_int = int(doc.get("y", 5)) if party_id == 1 else None
 
-    # load preprocessing r-shares (one slot per input)
-    r_rows = []
-    for i in range(n_parties):
-        _, r, _ = SER.read_online_setup(
-            os.path.join(outdir, str(i), "online_setup.json"))
-        r_rows.append(r)
+    # load preprocessing r-shares — each party reads ONLY its own file
+    # (`online.rs:127-176`).  The stacked (single-process) simulation plays
+    # every party, so it loads all N files, exactly like the reference's
+    # MpcMultiNet simulation.
+    if party_id is None:
+        r_rows = []
+        for i in range(n_parties):
+            _, r, _ = SER.read_online_setup(
+                os.path.join(outdir, str(i), "online_setup.json"))
+            r_rows.append(r)
+    else:
+        _, my_r, _ = SER.read_online_setup(
+            os.path.join(outdir, str(party_id), "online_setup.json"))
 
     if party_id is None:
         transport = StackedTransport(n_parties)
@@ -65,47 +76,86 @@ def run(inputs_path: str, outdir: str = "outputs", n_parties: int = 3,
         net.connect()
         transport = SocketTransport(net)
 
+    NB = 48  # field-element wire size (384-bit le, CanonicalSerialize-style)
+
     key = jax.random.PRNGKey(seed)
     with mpc_scope(MpcContext(transport, backend="semi")):
         # SPDZ input protocol (`online.rs:178-209`): for input slot j owned
-        # by party w, r_j = sum_i r_rows[i][j] is opened to w (here public in
-        # the handoff file, as in the reference's simulation), w broadcasts
-        # eps = x - r_j, and each party i holds share r_rows[i][j] (+eps on
-        # the leader).
-        def input_share_with_r(x_int, slot):
-            r_open = sum(r_rows[i][slot] for i in range(n_parties)) % p
-            eps = (x_int - r_open) % p
+        # by party w, the mask r_j = sum_i r_i[j] is opened TO w only (each
+        # party sends its r-share to w as a protocol message), w broadcasts
+        # eps = x - r_j, and party i's share of x is r_i[j] (+eps for w).
+        # No party ever reads another party's r-file, and r_j stays known
+        # only to the owner.
+        def input_share_with_r(x_int, slot, owner):
             if transport.kind == "stacked":
-                rows = [(r_rows[i][slot] + (eps if i == 0 else 0)) % p
+                r_open = sum(r_rows[i][slot] for i in range(n_parties)) % p
+                eps = (x_int - r_open) % p
+                rows = [(r_rows[i][slot] + (eps if i == owner else 0)) % p
                         for i in range(n_parties)]
                 sh = FpArray.from_int(FR, np.asarray(rows, dtype=object))
+                return MpcFp(sh, SHARED)
+            me = transport.net.party_id
+            if me == owner:
+                r_open = my_r[slot]
+                for i in range(n_parties):
+                    if i != me:
+                        r_open += int.from_bytes(
+                            transport.net.recv_bytes(i, chan=2), "little")
+                eps = (x_int - r_open) % p
+                for i in range(n_parties):
+                    if i != me:
+                        transport.net.send_bytes(
+                            i, eps.to_bytes(NB, "little"), chan=2)
             else:
-                mine = (r_rows[transport.party_id][slot]
-                        + (eps if transport.party_id == 0 else 0)) % p
-                sh = FpArray.from_int(FR, np.asarray(mine, dtype=object))
-            return MpcFp(sh, SHARED)
+                transport.net.send_bytes(
+                    owner, (my_r[slot] % p).to_bytes(NB, "little"), chan=2)
+                eps = int.from_bytes(
+                    transport.net.recv_bytes(owner, chan=2), "little")
+            mine = (my_r[slot] + (eps if me == owner else 0)) % p
+            return MpcFp(FpArray.from_int(FR, np.asarray(mine, dtype=object)),
+                         SHARED)
 
-        a = input_share_with_r(a_int, 0)
-        b = input_share_with_r(b_int, 1)
+        a = input_share_with_r(a_int, 0, owner=0)
+        b = input_share_with_r(b_int, 1, owner=1)
 
-        # commitments for a, b (public randomness from the common seed)
+        # Pedersen commitments: the OWNER commits to its own input and
+        # publishes the commitment (`input.rs:57-105`); blinding randomness
+        # is derived from the common seed (16 bits, as in cli.main).
         pp = pedersen.PedersenParams.sample(seed)
         kr = jax.random.fold_in(key, 7)
         ra, rb = (int(x) for x in np.asarray(
             jax.random.randint(kr, (2,), 0, 1 << 16)))
         nb = 16
-        import dataclasses as _dc
+
+        def published_commit(x_int, r_int, owner):
+            if transport.kind == "stacked":
+                return pedersen.commit_public_ints(pp, x_int, r_int)
+            me = transport.net.party_id
+            if me == owner:
+                cx, cy = pedersen.commit_public_ints(pp, x_int, r_int)
+                blob = (int(cx).to_bytes(NB, "little")
+                        + int(cy).to_bytes(NB, "little"))
+            else:
+                blob = bytes(2 * NB)     # broadcast frames are equal-length
+            got = transport.net.broadcast_bytes(blob, chan=2)
+            owned = got[owner]
+            return (int.from_bytes(owned[:NB], "little"),
+                    int.from_bytes(owned[NB:], "little"))
+
         a_iwc = IN.InputWithCommit(
             0, a, MpcFp.const(FR, np.asarray(
                 [(ra >> i) & 1 for i in range(nb)], dtype=object)),
-            pedersen.commit_public_ints(pp, a_int, ra))
+            published_commit(a_int, ra, 0))
         b_iwc = IN.InputWithCommit(
             1, b, MpcFp.const(FR, np.asarray(
                 [(rb >> i) & 1 for i in range(nb)], dtype=object)),
-            pedersen.commit_public_ints(pp, b_int, rb))
+            published_commit(b_int, rb, 1))
 
         cs = ConstraintSystem(FR)
-        c_pub = a_int * b_int % p
+        # public output c = a*b computed IN MPC and revealed (no party knows
+        # both plaintexts in socket mode)
+        c_pub = int(np.asarray(
+            (a * b).reveal().to_ints()).reshape(-1)[0]) % p
         my_circuit.build(cs, a_iwc, b_iwc, c_pub, pp,
                          jax.random.fold_in(key, 8), com_nbits=16)
         assert cs.is_satisfied_ints(), "online circuit unsatisfied"

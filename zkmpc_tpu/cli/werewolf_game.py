@@ -68,6 +68,39 @@ def _shared_scalar(v, key):
                  None if x.mac is None else f(x.mac))
 
 
+def _universal_srs(args):
+    """ONE universal Marlin SRS shared by every phase (the reference proves
+    all phases under a single `universal_setup` SRS, `bin_werewolf.rs:430`)
+    — set up once, persisted in the gamedir, reloaded by later phases."""
+    from ..snark import kzg, marlin
+    path = _state_path(args.gamedir, "universal_srs.json")
+    if os.path.exists(path):
+        return kzg.load_srs(path)
+    t0 = time.time()
+    srs = marlin.universal_setup(args.srs_degree, seed=args.seed + 99)
+    kzg.save_srs(srs, path)
+    print(f"universal setup: degree {args.srs_degree} "
+          f"({time.time() - t0:.2f}s, one-time, shared by all phases)")
+    return srs
+
+
+def _prove_and_verify(args, cs, key, setup_seed):
+    """Prove + verify one phase circuit under the selected zkSNARK.
+
+    marlin: indexes under the SHARED universal SRS (same trust model as the
+    reference's bin_werewolf).  groth16: circuit-specific trusted setup via
+    the device-assisted MSM path (`device_setup`, not the O(m) host loop)."""
+    from ..snark import groth16, marlin
+    if getattr(args, "zksnark", "groth16") == "marlin":
+        index = marlin.index_with_srs(_universal_srs(args), cs)
+        proof = marlin.prove(index, cs, key)
+        return marlin.verify(index, cs.instance_ints(), proof)
+    dpk = groth16.device_setup(cs, seed=setup_seed)
+    proof = groth16.prove(dpk, cs, key)
+    return groth16.verify(dpk.pk.vk, cs.instance_ints(),
+                          groth16.proof_to_ints(proof))
+
+
 def _grouping(n_players):
     from ..apps import werewolf as WD
     # the reference's default: 1 fortune teller, 1 werewolf, rest villagers
@@ -147,10 +180,7 @@ def mode_preprocessing(args):
                                  int(keys.pk[0]), int(keys.pk[1]))
         assert cs.is_satisfied_ints()
         t0 = time.time()
-        pk = groth16.setup(cs, seed=args.seed + 12)
-        proof = groth16.prove(pk.device(), cs, kk[3 * n])
-        ok = groth16.verify(pk.vk, cs.instance_ints(),
-                            groth16.proof_to_ints(proof))
+        ok = _prove_and_verify(args, cs, kk[3 * n], args.seed + 12)
     _save(args.gamedir, "elgamal_pubkey.json",
           {"pk": [int(keys.pk[0]), int(keys.pk[1])], "verified": bool(ok)})
     print(f"preprocessing: key publicized, proof ok={ok} "
@@ -210,10 +240,7 @@ def mode_role_assignment(args):
                                    com_nbits=16)
         assert cs.is_satisfied_ints()
         t0 = time.time()
-        pk = groth16.setup(cs, seed=args.seed + 23)
-        proof = groth16.prove(pk.device(), cs, kk[4])
-        ok = groth16.verify(pk.vk, cs.instance_ints(),
-                            groth16.proof_to_ints(proof))
+        ok = _prove_and_verify(args, cs, kk[4], args.seed + 23)
     print(f"role_assignment: proof ok={ok} ({time.time() - t0:.2f}s, "
           f"{len(cs.constraints)} constraints)")
     return ok
@@ -263,10 +290,7 @@ def mode_night(args):
                               c1_xy, c2_xy, kk[2 * n + 1])
         assert cs.is_satisfied_ints()
         t0 = time.time()
-        pk = groth16.setup(cs, seed=args.seed + 31)
-        proof = groth16.prove(pk.device(), cs, kk[2 * n + 2])
-        ok = groth16.verify(pk.vk, cs.instance_ints(),
-                            groth16.proof_to_ints(proof))
+        ok = _prove_and_verify(args, cs, kk[2 * n + 2], args.seed + 31)
     plain = EG.decrypt_ints(keys, c1_xy, c2_xy)
     is_wolf = plain == SC.TE_GEN
     _save(args.gamedir, "divination.json",
@@ -301,10 +325,7 @@ def mode_vote(args):
         WC.anonymous_voting_circuit(cs, wires, winner, kk[n * n + 1])
         assert cs.is_satisfied_ints()
         t0 = time.time()
-        pk = groth16.setup(cs, seed=args.seed + 41)
-        proof = groth16.prove(pk.device(), cs, kk[n * n + 2])
-        ok = groth16.verify(pk.vk, cs.instance_ints(),
-                            groth16.proof_to_ints(proof))
+        ok = _prove_and_verify(args, cs, kk[n * n + 2], args.seed + 41)
     _save(args.gamedir, "vote.json",
           {"votes": votes, "most_voted": winner, "verified": bool(ok)})
     print(f"vote: winner={winner} proof ok={ok} ({time.time() - t0:.2f}s)")
@@ -335,10 +356,7 @@ def mode_judgment(args):
         WC.winning_judge_circuit(cs, len(alive), am_w, state_int, kk[n + 1])
         assert cs.is_satisfied_ints()
         t0 = time.time()
-        pk = groth16.setup(cs, seed=args.seed + 51)
-        proof = groth16.prove(pk.device(), cs, kk[n + 2])
-        ok = groth16.verify(pk.vk, cs.instance_ints(),
-                            groth16.proof_to_ints(proof))
+        ok = _prove_and_verify(args, cs, kk[n + 2], args.seed + 51)
     names = {1: "werewolf win", 2: "villager win", 3: "continue"}
     _save(args.gamedir, "judgment.json",
           {"state": state_int, "meaning": names[state_int],
@@ -373,6 +391,11 @@ def main(argv=None):
                     help="comma-separated target ids, one per player")
     ap.add_argument("--rand-bits", type=int, default=32,
                     help="ElGamal randomness bits (251 for full security)")
+    ap.add_argument("--zksnark", choices=["groth16", "marlin"],
+                    default="groth16",
+                    help="marlin = one shared universal SRS for all phases")
+    ap.add_argument("--srs-degree", type=int, default=1 << 13,
+                    help="universal SRS degree for --zksnark marlin")
     args = ap.parse_args(argv)
     ok = MODES[args.mode](args)
     sys.exit(0 if ok else 1)

@@ -158,7 +158,12 @@ def bit_rand(key, spec: FieldSpec, shape=()) -> MpcFp:
     c = ctx()
     t = c.transport
     if c.backend != "semi":
-        raise NotImplementedError("spdz random bits come from preprocessing")
+        # spdz: random bits must be *authenticated*; derive them from the
+        # preprocessing <r> pool via the square-root trick (every step is
+        # MAC-maintaining: authenticated r, one Beaver square, opens, and
+        # public scales/shifts — the reference's FieldShare-generic bit_rand,
+        # `boolean_field.rs:150-170`, works for SpdzFieldShare the same way)
+        return bit_rand_sqrt(key, spec, shape)
     P_ = t.n_parties
     contribs = []
     for i in range(P_):

@@ -100,8 +100,14 @@ class MpcSWPoint:
                 mac = sw_add_complete(a.mac, _alpha_scale(b.point))
             return MpcSWPoint(SWPoint.select(mask, added, a.point), SHARED,
                               mac)
+        if (a.mac is None) != (b.mac is None):
+            # never silently drop authentication: a mac'd share may only
+            # combine with another mac'd share (`spdz.rs:197-219`)
+            raise ValueError(
+                "adding a MAC'd group share to a MAC-less one would silently "
+                "drop SPDZ authentication")
         mac = None
-        if a.mac is not None and b.mac is not None:
+        if a.mac is not None:
             mac = sw_add_complete(a.mac, b.mac)
         return MpcSWPoint(sw_add_complete(a.point, b.point), SHARED, mac)
 
@@ -124,8 +130,12 @@ class MpcSWPoint:
         if x.visibility == PUBLIC:
             return self.scale_public(x)
         if self.visibility == PUBLIC:
-            # public base, shared scalar: local scalar-mul of shares
-            return MpcSWPoint(sw_scalar_mul(self.point, x.value), SHARED)
+            # public base, shared scalar: local scalar-mul of shares; the
+            # MAC share of x*P_pub is mac_x * P_pub (linearity:
+            # sum_i mac_x_i * P = (alpha*x) * P = alpha * (x*P),
+            # `spdz.rs:424-489`)
+            mac = None if x.mac is None else sw_scalar_mul(self.point, x.mac)
+            return MpcSWPoint(sw_scalar_mul(self.point, x.value), SHARED, mac)
         return _group_beaver_scale(self, x)
 
     def reveal(self) -> SWPoint:
@@ -207,15 +217,99 @@ def _group_beaver_scale(P: MpcSWPoint, x: MpcFp) -> MpcSWPoint:
     """x*P for shared x, shared P via a group triple (a, B, C=a*B):
     open d = x - a and E = P - B, then x*P = C + d*B + a*E + d*E
     (reference `share/group.rs:72-111`)."""
+    return scale_many([(P, x)])[0]
+
+
+def mpc_msm_many(bases_list, scalars_list) -> list:
+    """k MSMs of public base sets with shared scalar vectors, fused into ONE
+    bucketed kernel call (`ops/msm.py:sw_msm_multi`).  Falls back to
+    per-MSM calls on the 2-D chips mesh (the sharded kernel handles one
+    point range at a time)."""
     c = ctx()
+    if c.chips_axis is not None or len(bases_list) == 1:
+        return [mpc_msm(b, s) for b, s in zip(bases_list, scalars_list)]
+    vals = M.sw_msm_multi(bases_list, [s.value for s in scalars_list])
+    macs = [None] * len(bases_list)
+    if all(s.mac is not None for s in scalars_list):
+        macs = M.sw_msm_multi(bases_list, [s.mac for s in scalars_list])
+    vis = scalars_list[0].visibility
+    return [MpcSWPoint(v, vis, m) for v, m in zip(vals, macs)]
+
+
+def _stack_points_last(pts):
+    """Stack k same-shaped SWPoints along a new trailing batch axis."""
+    exp = [p.reshape(p.shape + (1,)) for p in pts]
+    return exp[0] if len(exp) == 1 else SWPoint.concat(exp, axis=-1)
+
+
+def _take_trailing(p: SWPoint, j: int) -> SWPoint:
+    return jax.tree_util.tree_map(
+        lambda leaf: leaf[..., j, :] if leaf.dtype == jnp.uint32
+        else leaf[..., j], p)
+
+
+def _bcast_trailing(p: SWPoint, k: int) -> SWPoint:
+    """Broadcast a point (batch) to a new trailing batch axis of width k."""
+    return jax.tree_util.tree_map(
+        lambda leaf: (jnp.broadcast_to(
+            leaf[..., None, :], leaf.shape[:-1] + (k, leaf.shape[-1]))
+            if leaf.dtype == jnp.uint32 else
+            jnp.broadcast_to(leaf[..., None], leaf.shape + (k,))), p)
+
+
+def scale_many(pairs) -> list:
+    """Batched group-Beaver scaling: [x_j * P_j for (P_j, x_j) in pairs]
+    with ONE triple batch, ONE batched open round, and ONE fused
+    scalar-multiplication ladder for all 3k terms (d*B, a*E, d*E stacked on
+    a trailing batch axis).
+
+    Semantics per pair are exactly `share/group.rs:72-111`; the fusion is a
+    TPU compile-size/throughput optimization — the traced graph carries one
+    ladder construct instead of 3k (each ~25k XLA ops), which is a large
+    slice of the cold-compile problem."""
+    c = ctx()
+    k = len(pairs)
+    spec = pairs[0][1].spec
+    P_pts = _stack_points_last([p.point for p, _ in pairs])
+    P_macs = None
+    if all(p.mac is not None for p, _ in pairs):
+        P_macs = _stack_points_last([p.mac for p, _ in pairs])
+    P = MpcSWPoint(P_pts, SHARED, P_macs)
+    x = MpcFp.concat([xx.reshape(1) for _, xx in pairs], axis=0)   # [k]
+
     a, Bp, Cp = c.triple_source.group_triples(P, x.spec)
-    d = (x - a).reveal()                      # public scalar
-    E = (P - Bp).reveal()                     # public point
-    d_pub = MpcFp(d, PUBLIC)
-    term_db = Bp.scale_public(d_pub)
-    term_aE = MpcSWPoint.from_public_party_layout(E).scale(a)
-    term_dE = MpcSWPoint(sw_scalar_mul(E, d), PUBLIC)
-    return Cp + term_db + term_aE + term_dE
+    d = (x - a).reveal()                      # public scalars [k]
+    E = (P - Bp).reveal()                     # public points [k]
+
+    spdz = a.mac is not None and Bp.mac is not None
+    bases = [Bp.point, E, E]
+    scal = [d, a.value, d]
+    if spdz:
+        # MAC ladders ride the same fused graph: mac(d*B) = d * mac_B,
+        # mac(a*E) = mac_a * E (`spdz.rs:424-489`)
+        bases += [Bp.mac, E]
+        scal += [d, a.mac]
+    bases_t = SWPoint.concat(bases, axis=-1)
+    scal_t = FpArray.concat(scal, axis=-2)     # -2: last batch axis (limbs last)
+    prods = sw_scalar_mul(bases_t, scal_t)    # ONE ladder for every term
+
+    out = []
+    for j in range(k):
+        db = _take_trailing(prods, j)
+        aE = _take_trailing(prods, k + j)
+        dE = _take_trailing(prods, 2 * k + j)
+        mac_db = mac_aE = None
+        if spdz:
+            mac_db = _take_trailing(prods, 3 * k + j)
+            mac_aE = _take_trailing(prods, 4 * k + j)
+        Cj = MpcSWPoint(_take_trailing(Cp.point, j), SHARED,
+                        None if Cp.mac is None
+                        else _take_trailing(Cp.mac, j))
+        term_db = MpcSWPoint(db, SHARED, mac_db)
+        term_aE = MpcSWPoint(aE, SHARED, mac_aE)
+        term_dE = MpcSWPoint(dE, PUBLIC)
+        out.append(Cj + term_db + term_aE + term_dE)
+    return out
 
 
 def from_public_party_layout(point: SWPoint) -> MpcSWPoint:

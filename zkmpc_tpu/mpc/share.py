@@ -97,27 +97,59 @@ class MpcContext:
 
     def accumulate_group_mac_residue(self, residue):
         """residue: party-shaped SWPoint share that must open to infinity."""
-        from ..ops.curve import sw_add_complete
+        from ..ops.curve import SWPoint, sw_add_complete
         if not hasattr(self, "_group_mac_accum"):
             self._group_mac_accum = None
-        flat = residue.reshape((residue.shape[0], -1)) \
-            if self.transport.kind == "stacked" and len(residue.shape) > 1 \
-            else residue
+            self._group_mac_count = 0
+        lead = 1 if self.transport.kind == "stacked" else 0
+        flat = residue.reshape(residue.shape[:lead] + (-1,)) \
+            if len(residue.shape) > lead else \
+            residue.reshape(residue.shape[:lead] + (1,))
+        # fold the batch down to ONE residue point per party so the queue
+        # stays O(1) regardless of how many points were opened
+        while flat.shape[-1] > 1:
+            n = flat.shape[-1]
+            half = n // 2
+            folded = sw_add_complete(flat[..., :half], flat[..., half:2 * half])
+            if n % 2:
+                folded = SWPoint.concat([folded, flat[..., 2 * half:]], axis=-1)
+            flat = folded
+        flat = flat[..., 0]
         if self._group_mac_accum is None:
             self._group_mac_accum = flat
         else:
             self._group_mac_accum = sw_add_complete(self._group_mac_accum,
                                                     flat)
+        self._group_mac_count += 1
+
+    @property
+    def group_mac_residue_count(self) -> int:
+        """How many opened group shares contributed MAC residues (tests use
+        this to assert the check is NOT vacuous)."""
+        return getattr(self, "_group_mac_count", 0)
+
+    @property
+    def mac_residue_count(self) -> int:
+        """How many field openings contributed MAC residues."""
+        return self._mac_count
 
     def drain_group_mac_check(self):
         acc = getattr(self, "_group_mac_accum", None)
         self._group_mac_accum = None
+        self._group_mac_count = 0
         return acc
 
-    def assert_group_macs(self):
+    def assert_group_macs(self, require_nonempty: bool = False):
         """Open the accumulated group residue; must be the point at
-        infinity on every slot."""
+        infinity on every slot.  With ``require_nonempty`` the check fails
+        if NO group opening ever contributed a residue (i.e. the proof ran
+        with unauthenticated group shares) — guards against the vacuous-pass
+        failure mode."""
         import numpy as np
+        if require_nonempty and self.group_mac_residue_count == 0:
+            raise AssertionError(
+                "SPDZ group MAC queue is empty: no authenticated group "
+                "share was ever opened")
         acc = self.drain_group_mac_check()
         if acc is None:
             return True
@@ -126,6 +158,25 @@ class MpcContext:
         inf = np.asarray(jax.device_get(opened.inf))
         if not bool(inf.all()):
             raise AssertionError("SPDZ group MAC check failed")
+        return True
+
+    def assert_field_macs(self, require_nonempty: bool = False):
+        """Open the accumulated field MAC residue; must be zero
+        (`spdz.rs:125-196` batched check)."""
+        import numpy as np
+        if require_nonempty and self.mac_residue_count == 0:
+            raise AssertionError("SPDZ field MAC queue is empty")
+        acc = self.drain_mac_check()
+        if acc is None:
+            return True
+        # open WITHOUT re-entering MAC accumulation: psum the residue shares
+        t = self.transport
+        from ..ops.limbs import _resolve2
+        s = t.psum(acc.tighten().limbs)
+        opened = FpArray(_resolve2(s)[..., :acc.spec.nlimbs], acc.spec,
+                         2 * t.n_parties).tighten()
+        if not bool(np.asarray(jax.device_get(opened.is_zero())).all()):
+            raise AssertionError("SPDZ field MAC check failed")
         return True
 
 
@@ -521,7 +572,13 @@ class DummyTripleSource(TripleSource):
         mask = jnp.broadcast_to(t.party_index(len(P.shape)) == 0, P.point.shape)
         from ..ops.curve import SWPoint as _SW
         inf = _SW.infinity_like(gen)
-        Bp = MpcSWPoint(_SW.select(mask, gen, inf), SHARED)
+        # spdz: B's value is the public generator, so every party can form
+        # its group MAC share as alpha_i * G (sum = alpha * G = alpha * B)
+        mac = None
+        if ctx().backend == "spdz":
+            from .group import _alpha_scale
+            mac = _alpha_scale(gen)
+        Bp = MpcSWPoint(_SW.select(mask, gen, inf), SHARED, mac)
         return a, Bp, Bp
 
 

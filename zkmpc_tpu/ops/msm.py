@@ -46,6 +46,48 @@ def sw_msm(points: SWPoint, scalars: FpArray, nbits: int | None = None) -> SWPoi
     return _sw_reduce_last(prods)
 
 
+def sw_msm_multi(points_list, scalars_list, nbits: int | None = None):
+    """Fuse k MSMs over DIFFERENT base sets into ONE bucketed kernel call.
+
+    points_list[j]: SWPoint [N_j] public bases; scalars_list[j]:
+    FpArray [..., N_j] with a common leading batch shape.  Shorter MSMs pad
+    with (infinity, 0) pairs.  Returns a list of k SWPoint [...] results.
+
+    Compile-size: one Pippenger construct (~18k XLA ops) instead of k — the
+    Groth16 prover's four G1 query MSMs were ~40% of its traced graph."""
+    from .msm_pippenger import sw_msm_bucketed
+
+    k = len(points_list)
+    if k == 1:
+        return [sw_msm(points_list[0], scalars_list[0], nbits=nbits)]
+    Nmax = max(p.shape[0] for p in points_list)
+    spec = scalars_list[0].spec
+
+    def pad_pts(p):
+        n = p.shape[0]
+        if n == Nmax:
+            return p
+        pad = SWPoint.infinity_like(_bcast_sw(p[0:1], (Nmax - n,)))
+        return SWPoint.concat([p.tighten(), pad], axis=0)
+
+    def pad_sc(s):
+        n = s.shape[-1]
+        if n == Nmax:
+            return s
+        z = jnp.zeros(s.limbs.shape[:-2] + (Nmax - n, s.limbs.shape[-1]),
+                      s.limbs.dtype)
+        return FpArray(jnp.concatenate([s.limbs, z], axis=-2), spec, s.bound)
+
+    pts = SWPoint.concat([pad_pts(p).reshape((1, Nmax))
+                          for p in points_list], axis=0)      # [k, Nmax]
+    # stack the k MSMs as a new batch axis before N (limbs stay last)
+    scal = FpArray(jnp.stack([pad_sc(s).limbs for s in scalars_list],
+                             axis=-3), spec,
+                   max(s.bound for s in scalars_list))
+    out = sw_msm_bucketed(pts, scal, nbits=nbits, point_batches=k)
+    return [_take_last(out, j) for j in range(k)]
+
+
 def _sw_reduce_last(p: SWPoint) -> SWPoint:
     """Fold the last batch axis with complete adds.
 

@@ -68,8 +68,11 @@ def _tighten2(p: SWPoint) -> SWPoint:
 
 
 def sw_msm_bucketed(points: SWPoint, scalars: FpArray, c: int = 8,
-                    nbits: int | None = None) -> SWPoint:
-    """points: [N] public bases; scalars: [..., N] -> SWPoint [...]."""
+                    nbits: int | None = None,
+                    point_batches: int = 1) -> SWPoint:
+    """points: [N] public bases (or [kB, N] with point_batches=kB — distinct
+    base sets cycling over the flattened scalar batch, the fused multi-MSM
+    path); scalars: [..., N] -> SWPoint [...]."""
     nbits = nbits or scalars.spec.p.bit_length()
     nwin = -(-nbits // c)
     batch_shape = scalars.shape[:-1]
@@ -78,6 +81,10 @@ def sw_msm_bucketed(points: SWPoint, scalars: FpArray, c: int = 8,
     D = 1 << c
     nb_total = Bt * nwin * D
     M = Bt * nwin * N
+    kB = point_batches
+    assert Bt % kB == 0, "point batches must divide the flattened batch"
+    if kB > 1:
+        points = points.reshape((kB * N,))
 
     digits = _digits(scalars, c, nwin).reshape((Bt, N, nwin))
     digits = jnp.moveaxis(digits, -1, 1)             # [Bt, nwin, N]
@@ -87,7 +94,12 @@ def sw_msm_bucketed(points: SWPoint, scalars: FpArray, c: int = 8,
 
     perm = jnp.argsort(keys)
     skeys = keys[perm]
-    spoint_idx = (perm % N).astype(jnp.int32)
+    if kB > 1:
+        # flat layout (b, w, i): base set = (b mod kB), gather from [kB*N]
+        b_idx = (perm // (nwin * N)).astype(jnp.int32)
+        spoint_idx = (b_idx % kB) * N + (perm % N).astype(jnp.int32)
+    else:
+        spoint_idx = (perm % N).astype(jnp.int32)
 
     # chunk layout: L lanes x S sequential steps.  Wide lanes keep the VPU
     # saturated AND put the per-step point-add multiplies over the Pallas

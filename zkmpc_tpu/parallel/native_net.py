@@ -250,3 +250,16 @@ class SocketTransport(T.Transport):
     def leader_mask(self, batch_ndim: int):
         import jax.numpy as jnp
         return jnp.asarray(self.party_id == 0)
+
+    def atomic_broadcast(self, x):
+        """Array-level commit-then-open broadcast: the real two-round
+        protocol over TCP (blake2b commitments, openings checked) — the
+        malicious-security semantics the reference stubs out
+        (`channel.rs:55-84`).  Returns [P, ...] like all_gather."""
+        import jax.numpy as jnp
+        arr = np.asarray(x)
+        parts = self.net.atomic_broadcast_bytes(arr.tobytes())
+        self.stats.record(arr)
+        return jnp.stack([jnp.asarray(
+            np.frombuffer(b, dtype=arr.dtype).reshape(arr.shape))
+            for b in parts])

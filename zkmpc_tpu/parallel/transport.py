@@ -79,6 +79,21 @@ class Transport:
     def leader_mask(self, batch_ndim: int):
         return self.party_index(batch_ndim) == 0
 
+    def atomic_broadcast(self, x):
+        """Equivocation-free broadcast of per-party values (the reference's
+        commit-then-open `atomic_broadcast`, `mpc-net/src/multi.rs` /
+        `channel.rs:55-84`).
+
+        On the SPMD transports (stacked / mesh) atomicity is STRUCTURAL:
+        all_gather is a single deterministic collective, so every party
+        receives the identical gathered tensor by construction — a party
+        cannot send different values to different peers, which is exactly
+        the property the commit-then-open round buys on a real network.
+        The socket transport implements the real two-round protocol
+        (`native_net.py:atomic_broadcast_bytes`: blake2b commitments, then
+        openings checked against them)."""
+        return self.all_gather(x)
+
 
 class StackedTransport(Transport):
     """All parties stacked on a leading axis of every tensor (single device)."""

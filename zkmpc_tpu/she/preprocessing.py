@@ -405,6 +405,36 @@ class SheTripleSource:
             out.append(MpcFp(vals, SHARED, macs if use_mac else None))
         return tuple(out)
 
+    def group_triples(self, P, scalar_spec):
+        """Group Beaver triple (a, B, C=a*B) for scaling a shared point by a
+        shared scalar (`share/group.rs:72-111`, `share/spdz.rs:424-489`).
+
+        Derived from a *field* triple (a, b, c=a*b) by the linearity of the
+        fixed-base map s -> s*G: each party locally computes B_i = b_i*G and
+        C_i = c_i*G (sums = b*G, c*G = a*(b*G)), and the group MAC shares are
+        the scalar MAC shares mapped the same way (sum_i mac_b_i*G =
+        (alpha*b)*G = alpha*B) — so the authenticated group triple costs no
+        extra preprocessing beyond one field triple.
+        """
+        from ..mpc.group import MpcSWPoint
+        from ..ops import msm as M_
+        from ..ops.curve import SWPoint, sw_scalar_mul
+        from ..ops.fp2 import Fp2Array
+        from ..spec import curves as SC_
+
+        a, b, c = self.field_triples(scalar_spec, P.shape)
+        if isinstance(P.point.x, Fp2Array):
+            gen = SWPoint.g2_from_affine_ints([SC_.G2_GEN])
+        else:
+            gen = SWPoint.g1_from_affine_ints([SC_.G1_GEN])
+        gen_b = M_._bcast_sw(gen[0], b.value.shape)
+
+        def to_pt(w):
+            mac = None if w.mac is None else sw_scalar_mul(gen_b, w.mac)
+            return MpcSWPoint(sw_scalar_mul(gen_b, w.value), SHARED, mac)
+
+        return a, to_pt(b), to_pt(c)
+
     def rand_shares(self, spec, shape):
         """Authenticated random shared values from the <r> pair pool
         (`preprocessing.rs:823-878`); used for SPDZ proof randomness."""

@@ -148,6 +148,167 @@ def make_prove_fn_dpk(dpk, n_parties: int):
     return step, (deal(vals_a), deal(vals_b), jax.random.PRNGKey(7))
 
 
+# --- PedersenComCircuit prove driver (the BASELINE.md headline circuit:
+# 2,543 constraints, reference MPC proving time 6.572s,
+# `docs/benchmark.md:52-58`) ---------------------------------------------
+
+import os as _os
+
+PED_M_INT = 123456789
+PED_R_INT = 0x5A5A5A5A5A
+#: full-width (253) by default — ZKMPC_PED_BITS shrinks the circuit for
+#: CPU smoke runs of bench.py / __graft_entry__ (graph structure identical)
+PED_NBITS = int(_os.environ.get("ZKMPC_PED_BITS", 253))
+PED_R_BITS = PED_NBITS
+
+
+def _pedersen_fixture(n_parties):
+    from ..crypto import pedersen as PD
+    pp = PD.PedersenParams.sample(7)
+    com = PD.commit_public_ints(pp, PED_M_INT, PED_R_INT)
+    return pp, com
+
+
+def _build_pedersen_cs(cs, x_wire, r_bits_wire, pp, com, key):
+    from ..circuits.pedersen_gadget import pedersen_com_circuit
+    from ..snark.gadgets import Boolean, FpVar
+    from ..mpc import bits as B
+    x = FpVar.new_witness(cs, x_wire)
+    r_bools = [Boolean.new_witness(cs, B._index_last(r_bits_wire, i))
+               for i in range(PED_R_BITS)]
+    pedersen_com_circuit(cs, x, r_bools, com, pp, key, nbits=PED_NBITS)
+
+
+def synthesize_pedersen_cs(n_parties: int) -> ConstraintSystem:
+    """Host-side structural build of the PedersenComCircuit (in-circuit
+    commitment, MPC bit-decomposed witness)."""
+    t = T.StackedTransport(n_parties)
+    pp, com = _pedersen_fixture(n_parties)
+    with mpc_scope(MpcContext(t, backend="semi")):
+        from ..mpc.share import king_share
+        cs = ConstraintSystem(FR)
+        x = king_share(FpArray.from_int(FR, np.asarray(PED_M_INT,
+                                                       dtype=object)),
+                       jax.random.PRNGKey(3))
+        rb = king_share(FpArray.from_int(FR, np.asarray(
+            [(PED_R_INT >> i) & 1 for i in range(PED_R_BITS)], dtype=object)),
+            jax.random.PRNGKey(4))
+        _build_pedersen_cs(cs, x, rb, pp, com, jax.random.PRNGKey(5))
+    return cs
+
+
+def make_pedersen_prove_fn_dpk(dpk, n_parties: int):
+    """Jittable full prove of the PedersenComCircuit: MPC witness synthesis
+    (batched bit-decomposition + log-depth Pedersen point tree) + QAP + the
+    5 Groth16 MSMs + proof opening, all in ONE traced step."""
+    pk = dpk.pk
+    mats = groth16.device_matrices_from_pk(pk)
+    pp, com = _pedersen_fixture(n_parties)
+
+    def step(m_limbs, r_limbs, key):
+        t = T.StackedTransport(n_parties)
+        with mpc_scope(MpcContext(t, backend="semi")):
+            cs2 = ConstraintSystem(FR)
+            x = MpcFp(FpArray(m_limbs, FR, 2), SHARED)
+            rb = MpcFp(FpArray(r_limbs, FR, 2), SHARED)
+            k1, k2 = jax.random.split(key)
+            _build_pedersen_cs(cs2, x, rb, pp, com, k1)
+            proof = groth16.prove(dpk, cs2, k2, matrices=mats)
+            a_pt, b_pt, c_pt = proof
+            return (a_pt.x.limbs, a_pt.y.limbs, a_pt.z.limbs, a_pt.inf,
+                    b_pt.x.c0.limbs, b_pt.x.c1.limbs,
+                    b_pt.y.c0.limbs, b_pt.y.c1.limbs,
+                    b_pt.z.c0.limbs, b_pt.z.c1.limbs, b_pt.inf,
+                    c_pt.x.limbs, c_pt.y.limbs, c_pt.z.limbs, c_pt.inf)
+
+    def deal(vals):
+        vals = np.asarray(vals, dtype=object)
+        arr = np.zeros((n_parties,) + vals.shape, dtype=object)
+        arr[0, ...] = vals
+        return FpArray.from_int(FR, arr).limbs
+
+    r_bits = [(PED_R_INT >> i) & 1 for i in range(PED_R_BITS)]
+    return step, (deal(PED_M_INT), deal(r_bits), jax.random.PRNGKey(11))
+
+
+def expected_pedersen_instance(n_parties: int):
+    _, com = _pedersen_fixture(n_parties)
+    return [1, int(com[0]), int(com[1])]
+
+
+def dpk_to_host(dpk):
+    """Device proving key -> picklable host doc (for the setup cache)."""
+    def pt(p):
+        from ..ops.fp2 import Fp2Array
+        if p is None:
+            return None
+
+        def f(c):
+            if isinstance(c, Fp2Array):
+                return ("fp2", np.asarray(jax.device_get(c.c0.limbs)),
+                        np.asarray(jax.device_get(c.c1.limbs)))
+            return ("fp", np.asarray(jax.device_get(c.limbs)))
+        return (f(p.x), f(p.y), f(p.z), np.asarray(jax.device_get(p.inf)))
+    return dict(pk=dpk.pk,
+                pts={k: pt(getattr(dpk, k)) for k in
+                     ("a_query", "b_g1_query", "b_g2_query", "h_query",
+                      "l_query", "alpha_g1", "beta_g1", "beta_g2",
+                      "delta_g1", "delta_g2")})
+
+
+def dpk_from_host(doc):
+    from ..ops.curve import SWPoint
+    from ..ops.fp2 import Fp2Array
+    from ..ops.limbs import FQ
+    from .groth16 import DeviceProvingKey
+
+    def coord(c):
+        if c[0] == "fp2":
+            return Fp2Array(FpArray(c[1], FQ, 2), FpArray(c[2], FQ, 2))
+        return FpArray(c[1], FQ, 2)
+
+    def pt(t):
+        if t is None:
+            return None
+        return SWPoint(coord(t[0]), coord(t[1]), coord(t[2]), t[3])
+    dpk = DeviceProvingKey.__new__(DeviceProvingKey)
+    dpk.pk = doc["pk"]
+    for k, v in doc["pts"].items():
+        setattr(dpk, k, pt(v))
+    return dpk
+
+
+def cached_pedersen_dpk(n_parties: int, cache_dir: str | None = None):
+    """Device setup for the PedersenComCircuit, pickled across runs (shared
+    by bench.py and __graft_entry__ so the one-time setup is paid once)."""
+    import os
+    import pickle
+    import sys
+    import time
+
+    from . import groth16
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir,
+                        f"dpk_pedersen_{PED_NBITS}b_{n_parties}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return dpk_from_host(pickle.load(f))
+    t0 = time.time()
+    cs = synthesize_pedersen_cs(n_parties)
+    print(f"# pedersen cs: {len(cs.constraints)} constraints",
+          file=sys.stderr)
+    dpk = groth16.device_setup(cs, seed=1)
+    print(f"# setup (device-assisted, one-time): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    with open(path, "wb") as f:
+        pickle.dump(dpk_to_host(dpk), f)
+    return dpk
+
+
 def proof_arrays_to_ints(outs):
     """Decode step() outputs back into ((ax,ay),(bx,by),(cx,cy)) host ints."""
     from ..ops.curve import SWPoint

@@ -23,7 +23,7 @@ import numpy as np
 from .. import params
 from ..mpc import share as MS
 from ..mpc.group import MpcSWPoint, mpc_msm
-from ..mpc.share import MpcFp, SHARED
+from ..mpc.share import MpcFp, PUBLIC, SHARED
 from ..ops.curve import SWPoint
 from ..ops.limbs import FR, FpArray
 from ..ops.ntt import Domain
@@ -290,16 +290,42 @@ def prove(dpk: DeviceProvingKey, cs: ConstraintSystem, key,
     delta1 = MpcSWPoint.from_public(dpk.delta_g1)
     delta2 = MpcSWPoint.from_public(dpk.delta_g2)
 
-    a_pt = alpha + mpc_msm(dpk.a_query, z) + delta1.scale(r)
-    b1_pt = beta1 + mpc_msm(dpk.b_g1_query, z) + delta1.scale(s)
-    b2_pt = beta2 + mpc_msm(dpk.b_g2_query, z) + delta2.scale(s)
-
-    c_pt = mpc_msm(dpk.h_query, h)
-    if dpk.l_query is not None:
-        zw = z[pk.num_instance:]
-        c_pt = c_pt + mpc_msm(dpk.l_query, zw)
+    # Every delta-multiple ladder folds into the query MSMs as ONE extra
+    # (point, scalar) pair — delta1*r rides the a_query MSM, delta1*s the
+    # b_g1 MSM, delta2*s the b_g2 MSM, and -delta1*rs the h MSM — and the
+    # four G1 MSMs then fuse into ONE bucketed kernel call.  Compile-size:
+    # each separate ladder/MSM construct is ~10-57k XLA ops; this assembly
+    # has two MSM constructs (G1 fused + G2) instead of nine.
     rs = r * s
-    c_pt = c_pt + a_pt.scale(s) + b1_pt.scale(r) - delta1.scale(rs)
+    from ..mpc.group import mpc_msm_many
+
+    def ext(base_pts, extra_pt):
+        return SWPoint.concat([base_pts, extra_pt.reshape((1,))], axis=0)
+
+    def exts(scal, extra):
+        return MpcFp.concat([scal, extra.reshape(1)], axis=0)
+
+    g1_bases = [ext(dpk.a_query, dpk.delta_g1),
+                ext(dpk.b_g1_query, dpk.delta_g1),
+                ext(dpk.h_query, dpk.delta_g1)]
+    g1_scal = [exts(z, r), exts(z, s), exts(h, -rs)]
+    if dpk.l_query is not None:
+        g1_bases.append(dpk.l_query)
+        g1_scal.append(z[pk.num_instance:])
+    g1_msms = mpc_msm_many(g1_bases, g1_scal)
+
+    a_pt = alpha + g1_msms[0]
+    b1_pt = beta1 + g1_msms[1]
+    b2_pt = beta2 + mpc_msm(ext(dpk.b_g2_query, dpk.delta_g2), exts(z, s))
+
+    c_pt = g1_msms[2]
+    if dpk.l_query is not None:
+        c_pt = c_pt + g1_msms[3]
+    # a_pt*s and b1_pt*r fuse into one batched group-Beaver scale
+    # (-delta1*rs already rode the h MSM above)
+    from ..mpc.group import scale_many
+    sc_as, sc_b1r = scale_many([(a_pt, s), (b1_pt, r)])
+    c_pt = c_pt + sc_as + sc_b1r
 
     a_open = a_pt.reveal()
     b_open = b2_pt.reveal()

@@ -163,6 +163,108 @@ def open_at(srs: DeviceKzgSrs, coeffs: MpcFp, z: FpArray,
     return w_commit, v
 
 
+def commit_shifted(srs: DeviceKzgSrs, coeffs: MpcFp, shift: int) -> MpcSWPoint:
+    """Commitment to X^shift * p(X): MSM against powers[shift:shift+d].
+
+    This is the degree-bound enforcement device (reference marlin_pc
+    `shifted_comm`, `arkworks/poly-commit/src/lib.rs:178`): to prove
+    deg(p) <= b against an SRS of max degree D, commit X^(D-b) * p as well —
+    a cheating prover whose p has degree > b would need powers of tau beyond
+    tau^D, which the SRS does not contain, so no consistent shifted
+    commitment exists and the batched opening check fails w.h.p.
+    """
+    d = coeffs.shape[-1]
+    assert shift + d <= len(srs.srs.powers), "shifted poly exceeds SRS"
+    return mpc_msm(srs.powers[shift:shift + d], coeffs)
+
+
+def batch_open_at(srs: DeviceKzgSrs, items, z: FpArray, xi: int,
+                  domain_n: int | None = None):
+    """ONE opening witness for the xi-combined linear combination
+    sum_i xi^i * X^{shift_i} * p_i(X) at public point z.
+
+    items: list of (coeffs MpcFp, shift int, value MpcFp == p_i(z)).
+    Returns the witness commitment (MpcSWPoint).  Replaces N separate
+    `open_at` calls with one evaluation-domain division + one MSM
+    (reference `open_combinations`, `poly-commit/src/lib.rs:315`).
+    """
+    import jax.numpy as jnp
+
+    R_ = FR.p
+    L = max(s + c.shape[-1] for c, s, _ in items)
+    # combined coefficients: sum_i xi^i * (p_i placed at offset shift_i)
+    comb = None
+    xi_pow = 1
+    for coeffs, shift, _ in items:
+        placed = _place(coeffs, shift, L)
+        term = _scale_pub_int(placed, xi_pow)
+        comb = term if comb is None else comb + term
+        xi_pow = xi_pow * xi % R_
+    # combined value at z: sum_i xi^i z^{shift_i} v_i
+    vcomb = None
+    xi_pow = 1
+    z_int = int(np.asarray(z.to_ints()).reshape(-1)[0])
+    for _, shift, v in items:
+        c_int = xi_pow * pow(z_int, shift, R_) % R_
+        term = _scale_pub_int(v, c_int)
+        vcomb = term if vcomb is None else vcomb + term
+        xi_pow = xi_pow * xi % R_
+    n = domain_n or _next_pow2(L)
+    assert n >= L
+    dom = Domain(FR, n)
+    padded = _pad_to(comb, n)
+    evals = _apply(padded, dom.coset_fft)
+    g = dom.coset_gen
+    xs = FpArray.from_int(
+        FR, np.asarray([g * pow(dom.omega, i, R) % R for i in range(n)],
+                       dtype=object))
+    den_inv = (xs - z).inv()
+    num = evals - _broadcast_scalar(vcomb, n)
+    w_evals = num * MpcFp.from_public(den_inv)
+    w_coeffs = _apply(w_evals, dom.coset_ifft)
+    return commit(srs, _slice(w_coeffs, max(1, L - 1)))
+
+
+def verify_batch_open(srs: KzgSrs, coms, values, z_int: int, xi: int,
+                      proof_pt) -> bool:
+    """Host check of a batched opening: C = sum xi^i C_i, v = sum xi^i v_i,
+    then ONE pairing product e(C - v g, h) == e(W, beta h - z h).
+
+    coms: list of host affine points (None = infinity); values: ints —
+    for degree-bound (shifted) entries the caller passes
+    v_i = z^{D-b} * value so the combined value matches the shifted LC.
+    """
+    acc = None
+    v = 0
+    xi_pow = 1
+    for c_pt, v_int in zip(coms, values):
+        acc = SC.g1_add(acc, SC.g1_mul(c_pt, xi_pow) if c_pt else None)
+        v = (v + xi_pow * v_int) % R
+        xi_pow = xi_pow * xi % R
+    return verify_open(srs, acc, z_int, v, proof_pt)
+
+
+def _place(x: MpcFp, shift: int, total: int) -> MpcFp:
+    """Coefficients of X^shift * p, zero-padded to `total`."""
+    import jax.numpy as jnp
+    d = x.shape[-1]
+
+    def f(fp: FpArray):
+        pre = jnp.zeros(fp.limbs.shape[:-2] + (shift, fp.limbs.shape[-1]),
+                        jnp.uint32)
+        post = jnp.zeros(
+            fp.limbs.shape[:-2] + (total - shift - d, fp.limbs.shape[-1]),
+            jnp.uint32)
+        return FpArray(jnp.concatenate([pre, fp.limbs, post], axis=-2),
+                       fp.spec, fp.bound)
+    return _apply(x, f)
+
+
+def _scale_pub_int(x: MpcFp, k: int) -> MpcFp:
+    c = FpArray.from_int(FR, np.asarray(k, dtype=object))
+    return _apply(x, lambda f: f * c)
+
+
 def verify_open(srs: KzgSrs, commitment, z_int: int, v_int: int, proof) -> bool:
     """Host pairing check: e(C - v g, h) == e(W, beta h - z h)."""
     c_minus_v = SC.g1_add(commitment, SC.g1_neg(SC.g1_mul(SC.G1_GEN, v_int)))

@@ -113,11 +113,8 @@ def _omega(n: int) -> int:
     return SF.root_of_unity(R, FR.generator, FR.two_adicity, n)
 
 
-def setup_and_index(cs: ConstraintSystem, seed: int = 0) -> MarlinIndex:
-    """KZG universal setup + holographic index: mirrors the reference's
-    local `universal_setup` + `index` + `from_public` lift (`src/marlin.rs:36`,
-    AHP indexer `marlin/src/ahp/indexer.rs`): the verifier never reads the
-    matrices, only their (row, col, val) KZG commitments."""
+def srs_degree_for(cs: ConstraintSystem) -> int:
+    """Smallest SRS degree that can index + prove this circuit."""
     n = 1
     need = max(len(cs.constraints), cs.num_vars, 2)
     while n < need:
@@ -128,11 +125,41 @@ def setup_and_index(cs: ConstraintSystem, seed: int = 0) -> MarlinIndex:
         nnz = max(1, len(m[2]))
         k = 1 << (nnz - 1).bit_length()
         kmax = max(kmax, k)
-    srs = kzg.setup(max(n + 1, 2 * kmax - 1), seed=seed)
+    return max(n + 1, 2 * kmax - 1)
+
+
+def universal_setup(max_degree: int, seed: int = 0) -> kzg.KzgSrs:
+    """ONE circuit-independent KZG SRS covering every circuit whose
+    `srs_degree_for` fits — the reference's `Marlin::universal_setup`
+    (`src/marlin.rs:36`, `bin_werewolf.rs:430`: one shared SRS for all game
+    phases).  Trust model: a single universal ceremony instead of one
+    trusted setup per circuit."""
+    return kzg.setup(max_degree, seed=seed)
+
+
+def index_with_srs(srs: kzg.KzgSrs, cs: ConstraintSystem) -> MarlinIndex:
+    """Holographic index under a pre-existing universal SRS (the reference's
+    `index` + `from_public` lift, AHP indexer `marlin/src/ahp/indexer.rs`):
+    the verifier never reads the matrices, only their (row, col, val) KZG
+    commitments."""
+    need = srs_degree_for(cs)
+    assert len(srs.powers) - 1 >= need, \
+        f"universal SRS degree {len(srs.powers) - 1} < required {need}"
+    n = 1
+    nmin = max(len(cs.constraints), cs.num_vars, 2)
+    while n < nmin:
+        n <<= 1
+    A, B, C = cs.matrices()
     dsrs = srs.device()
     dev = tuple(DeviceMatrix.from_coo(FR, m, n) for m in (A, B, C))
     comms = tuple(_index_matrix(dsrs, m, n) for m in (A, B, C))
     return MarlinIndex(srs, n, cs.num_instance, (A, B, C), dev, comms)
+
+
+def setup_and_index(cs: ConstraintSystem, seed: int = 0) -> MarlinIndex:
+    """Convenience: minimal universal setup sized for this circuit, then
+    index (`src/marlin.rs:36` + indexer)."""
+    return index_with_srs(universal_setup(srs_degree_for(cs), seed=seed), cs)
 
 
 def _fs_challenge(tag: bytes, *points) -> int:
@@ -170,12 +197,35 @@ def _evals_pad(x: MpcFp, n: int) -> MpcFp:
     return kzg._pad_to(x, n)
 
 
+#: fixed order of the polynomials batch-opened at beta (FS + LC ordering)
+_BETA_ORDER = ("z", "za", "zb", "zc", "m", "h0", "g", "q")
+#: fixed order of the per-matrix polynomials batch-opened at beta3
+_BETA3_ORDER = ("row", "col", "val", "g3", "h3")
+
+
 def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     """Collaborative prove under the ambient MPC scope.  Returns the opened
-    proof dict (commitments, evaluations, opening witnesses)."""
+    proof dict (commitments, publicized evaluations, TWO batched opening
+    witnesses + per-instance-point opens).
+
+    Zero-knowledge: each witness polynomial is masked with a fresh shared
+    multiple of v_H (evals on H unchanged, the published beta-evaluation is
+    perfectly hidden), and the sumcheck carries a random sum-zero mask
+    polynomial m — the zk_bound randomization + mask_poly of the reference
+    (`arkworks/marlin/src/ahp/prover.rs:280,371-376`).
+
+    Soundness: deg(g) <= n-2 is enforced with a shifted-power commitment
+    X^(D-(n-2)) * g (marlin_pc `shifted_comm`, `poly-commit/src/lib.rs:178`)
+    folded into ONE batched opening at beta (`open_combinations`,
+    `poly-commit/src/lib.rs:315`); deg(g3) <= k-2 likewise at beta3.
+    """
+    import jax
+
     dsrs = index.srs.device()
     n = index.domain_n
+    D = len(index.srs.powers) - 1
     dom = Domain(FR, n)
+    big = Domain(FR, 2 * n)
     A, Bm, Cm = index.dev_matrices
 
     z = cs.full_assignment()
@@ -184,31 +234,37 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     zb = _evals_pad(Bm.matvec(z), n)
     zc = _evals_pad(Cm.matvec(z), n)
 
-    z_poly = _poly_from_evals(z_pad, dom)
-    za_poly = _poly_from_evals(za, dom)
-    zb_poly = _poly_from_evals(zb, dom)
-    zc_poly = _poly_from_evals(zc, dom)
+    # zk masking: poly + c * v_H (deg n), c fresh shared randomness
+    ks = jax.random.split(key, 5)
+    z_poly = _mask_vh(_poly_from_evals(z_pad, dom), ks[0], n)
+    za_poly = _mask_vh(_poly_from_evals(za, dom), ks[1], n)
+    zb_poly = _mask_vh(_poly_from_evals(zb, dom), ks[2], n)
+    zc_poly = _mask_vh(_poly_from_evals(zc, dom), ks[3], n)
+    m_poly = _sum_zero_mask(ks[4], n)        # sumcheck mask, sum_H m = 0
 
-    # round 1: commit z, zA, zB, zC; publicize commitments; FS -> alpha, etas
+    # round 1: commit z, zA, zB, zC, m; publicize; FS -> alpha, etas
     com_z = _open_point(kzg.commit(dsrs, z_poly))
     com_za = _open_point(kzg.commit(dsrs, za_poly))
     com_zb = _open_point(kzg.commit(dsrs, zb_poly))
     com_zc = _open_point(kzg.commit(dsrs, zc_poly))
-    alpha = _fs_challenge(b"marlin-r1", com_z, com_za, com_zb, com_zc)
+    com_m = _open_point(kzg.commit(dsrs, m_poly))
+    alpha = _fs_challenge(b"marlin-r1", com_z, com_za, com_zb, com_zc, com_m)
     eta = [_fs_challenge(b"marlin-eta%d" % i, com_z) for i in range(3)]
 
-    # rowcheck quotient: h0 = (zA zB - zC) / v_H  via coset evaluation
-    a_cos = _apply(za_poly, dom.coset_fft)
-    b_cos = _apply(zb_poly, dom.coset_fft)
-    c_cos = _apply(zc_poly, dom.coset_fft)
-    prod = a_cos * b_cos                      # batched Beaver round
-    h0_cos = _scale(prod - c_cos, dom._vanish_inv_fp)
-    h0_poly = _apply(h0_cos, dom.coset_ifft)
+    # rowcheck quotient: h0 = (zA zB - zC) / v_H.  The masked polys have
+    # degree n, so the product needs the 2n coset (v_H is NOT constant
+    # there: v_H(g w_{2n}^i) = g^n (-1)^i - 1, precomputed below).
+    a_big = _apply(kzg._pad_to(za_poly, 2 * n), big.coset_fft)
+    b_big = _apply(kzg._pad_to(zb_poly, 2 * n), big.coset_fft)
+    c_big = _apply(kzg._pad_to(zc_poly, 2 * n), big.coset_fft)
+    prod = a_big * b_big                      # batched Beaver round
+    h0_big = _scale(prod - c_big, _vanish_n_inv_on_coset(big, n))
+    h0_poly = kzg._slice(_apply(h0_big, big.coset_ifft), n + 2)
 
     # lincheck sumcheck: p(X) = u_H(alpha, X) * (sum eta_M zM)(X)
-    #                         - (sum eta_M (M^T r_alpha))(X) * z(X)
+    #                         - (sum eta_M (M^T r_alpha))(X) * z(X) + m(X)
     # Both products are public x shared => local.  Compute the TRUE degree
-    # <= 2n-2 product on a size-2n domain, then split by v_H = X^n - 1
+    # <= 2n-1 product on a size-2n domain, then split by v_H = X^n - 1
     # with coefficient surgery: p = (p_low + p_high) + v_H * p_high.
     u_alpha = _u_H_row(alpha, dom)            # public evals over H [n]
     eta_fp = [FpArray.from_int(FR, np.asarray(e, dtype=object)) for e in eta]
@@ -216,23 +272,25 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     rstar = _rstar_evals(index, u_alpha, eta, n)   # public [n] evals of M^T r
     u_poly = dom.ifft(u_alpha)                # public coeff vectors
     rstar_poly = dom.ifft(rstar)
-    big = Domain(FR, 2 * n)
     zm_big = _apply(kzg._pad_to(zm_poly, 2 * n), big.fft)
     z_big = _apply(kzg._pad_to(z_poly, 2 * n), big.fft)
     u_big = big.fft(_pad_pub(u_poly, 2 * n))
     rs_big = big.fft(_pad_pub(rstar_poly, 2 * n))
     p_big = _scale(zm_big, u_big) - _scale(z_big, rs_big)
-    p_coeffs = _apply(p_big, big.ifft)        # [2n] shared coefficients
-    p_high = kzg._slice(_shift_block(p_coeffs, n), n)   # deg <= n-2
+    p_coeffs = _apply(p_big, big.ifft) + kzg._place(m_poly, 0, 2 * n)
+    p_high = kzg._slice(_shift_block(p_coeffs, n), n)
     q_poly = p_high
     r_poly = kzg._slice(p_coeffs, n) + p_high           # p_low + p_high
-    # sum over H is zero => r's constant coefficient is zero => g = r >> 1
-    g_poly = _shift_down(r_poly)
+    # sum over H is zero => r's constant coefficient is zero => g = r >> 1,
+    # with deg(g) <= n-2 (n-1 coefficients) ENFORCED by the shifted commit
+    g_poly = kzg._slice(_shift_down(r_poly), n - 1)
+    shift_g = D - (n - 2)
 
     com_h0 = _open_point(kzg.commit(dsrs, h0_poly))
     com_g = _open_point(kzg.commit(dsrs, g_poly))
     com_q = _open_point(kzg.commit(dsrs, q_poly))
-    beta = _fs_challenge(b"marlin-r2", com_h0, com_g, com_q)
+    com_g_shift = _open_point(kzg.commit_shifted(dsrs, g_poly, shift_g))
+    beta = _fs_challenge(b"marlin-r2", com_h0, com_g, com_q, com_g_shift)
     beta_fp = FpArray.from_int(FR, np.asarray(beta, dtype=object))
 
     # round 3 (holographic matrix sumcheck, AHP round 3): for each matrix,
@@ -242,59 +300,89 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     mat_proofs = []
     if index.index_comms is not None:
         for mic in index.index_comms:
-            mat_proofs.append(_matrix_sumcheck_prove(dsrs, mic, alpha, beta))
+            mat_proofs.append(
+                _matrix_sumcheck_prove(dsrs, mic, alpha, beta, D))
     beta3 = None
+    w_beta3 = None
     if mat_proofs:
         beta3 = _beta3_challenge(mat_proofs)
         b3_fp = FpArray.from_int(FR, np.asarray(beta3, dtype=object))
+        items3 = []
         for mic, mp in zip(index.index_comms, mat_proofs):
             k = mic.k_size
-            opens3 = {}
-            for name, poly in (("row", mic.row_poly), ("col", mic.col_poly),
-                               ("val", mic.val_poly), ("g3", mp.pop("g3_poly")),
-                               ("h3", mp.pop("h3_poly"))):
-                w_com, v = kzg.open_at(dsrs, MpcFp.from_public(poly), b3_fp,
-                                       domain_n=4 * k)
-                opens3[name] = (_open_point(w_com), _scalar_int(v))
-            mp["opens"] = opens3
+            g3_poly, h3_poly = mp.pop("g3_poly"), mp.pop("h3_poly")
+            evals3 = {}
+            polys3 = dict(row=mic.row_poly, col=mic.col_poly,
+                          val=mic.val_poly, g3=g3_poly, h3=h3_poly)
+            for name in _BETA3_ORDER:
+                pw = MpcFp.from_public(polys3[name])
+                v = _scalar_int(kzg.evaluate(pw, b3_fp))
+                evals3[name] = v
+                items3.append((pw, 0, MpcFp.const(FR, v)))
+            # degree bound: deg(g3) <= k-2
+            items3.append((MpcFp.from_public(g3_poly), D - (k - 2),
+                           MpcFp.const(FR, evals3["g3"])))
+            mp["evals"] = evals3
+        xi3 = _fs_xi(b"marlin-xi3", beta3, mat_proofs)
+        w_beta3 = _open_point(kzg.batch_open_at(
+            dsrs, items3, b3_fp, xi3, domain_n=kzg._next_pow2(D + 1)))
 
-    # openings at beta for all committed polys (publicized evals + witnesses)
+    # ONE batched opening at beta for all committed polys
     proof_polys = dict(z=z_poly, za=za_poly, zb=zb_poly, zc=zc_poly,
-                       h0=h0_poly, g=g_poly, q=q_poly)
-    opens = {}
-    for name, poly in proof_polys.items():
-        w_com, v = kzg.open_at(dsrs, poly, beta_fp, domain_n=2 * n)
-        opens[name] = (_open_point(w_com), _scalar_int(v))
+                       m=m_poly, h0=h0_poly, g=g_poly, q=q_poly)
+    evals = {}
+    items = []
+    for name in _BETA_ORDER:
+        v = _scalar_int(kzg.evaluate(proof_polys[name], beta_fp))
+        evals[name] = v
+        items.append((proof_polys[name], 0, MpcFp.const(FR, v)))
+    items.append((g_poly, shift_g, MpcFp.const(FR, evals["g"])))
+    coms = dict(z=com_z, za=com_za, zb=com_zb, zc=com_zc, m=com_m,
+                h0=com_h0, g=com_g, q=com_q, g_shift=com_g_shift)
+    xi = _fs_xi_beta(beta, coms, evals)
+    w_beta = _open_point(kzg.batch_open_at(
+        dsrs, items, beta_fp, xi, domain_n=kzg._next_pow2(D + 1)))
+
     # instance-consistency opens: z at omega^j for each instance slot
+    # (the zk mask is a multiple of v_H, so z(omega^j) is still the public
+    # instance value)
     inst_opens = []
     for j in range(index.num_instance):
         pt = FpArray.from_int(FR, np.asarray(pow(dom.omega, j, R),
                                              dtype=object))
         w_com, v = kzg.open_at(dsrs, z_poly, pt, domain_n=2 * n)
         inst_opens.append((_open_point(w_com), _scalar_int(v)))
-    return dict(coms=dict(z=com_z, za=com_za, zb=com_zb, zc=com_zc,
-                          h0=com_h0, g=com_g, q=com_q),
-                opens=opens, alpha=alpha, eta=eta, beta=beta,
+    return dict(coms=coms, evals=evals, w_beta=w_beta,
+                alpha=alpha, eta=eta, beta=beta,
                 instance_opens=inst_opens, mat_proofs=mat_proofs,
-                beta3=beta3)
+                beta3=beta3, w_beta3=w_beta3)
 
 
 def verify(index: MarlinIndex, instance_ints, proof) -> bool:
     n = index.domain_n
+    D = len(index.srs.powers) - 1
     dom = Domain(FR, n)
     coms = proof["coms"]
+    ev = proof["evals"]
     # recompute challenges from the transcript
     alpha = _fs_challenge(b"marlin-r1", coms["z"], coms["za"], coms["zb"],
-                          coms["zc"])
+                          coms["zc"], coms["m"])
     eta = [_fs_challenge(b"marlin-eta%d" % i, coms["z"]) for i in range(3)]
-    beta = _fs_challenge(b"marlin-r2", coms["h0"], coms["g"], coms["q"])
+    beta = _fs_challenge(b"marlin-r2", coms["h0"], coms["g"], coms["q"],
+                         coms["g_shift"])
     if alpha != proof["alpha"] or beta != proof["beta"] or eta != proof["eta"]:
         return False
-    # KZG opening checks
-    for name, (w_pt, v_int) in proof["opens"].items():
-        if not kzg.verify_open(index.srs, coms[name], beta, v_int, w_pt):
-            return False
-    ev = {k: v for k, (w, v) in proof["opens"].items()}
+    # ONE batched KZG opening check at beta.  The degree bound on g rides
+    # along: the g_shift entry's expected value is beta^(D-(n-2)) * g(beta);
+    # if deg(g) > n-2 no SRS-computable com_g_shift satisfies this w.h.p.
+    shift_g = D - (n - 2)
+    xi = _fs_xi_beta(beta, coms, ev)
+    batch_coms = [coms[name] for name in _BETA_ORDER] + [coms["g_shift"]]
+    batch_vals = [ev[name] for name in _BETA_ORDER] + \
+        [pow(beta, shift_g, R) * ev["g"] % R]
+    if not kzg.verify_batch_open(index.srs, batch_coms, batch_vals, beta,
+                                 xi, proof["w_beta"]):
+        return False
     v_H_beta = (pow(beta, n, R) - 1) % R
     # rowcheck at beta
     if (ev["za"] * ev["zb"] - ev["zc"]) % R != ev["h0"] * v_H_beta % R:
@@ -310,12 +398,31 @@ def verify(index: MarlinIndex, instance_ints, proof) -> bool:
         if proof.get("beta3") != _beta3_challenge(mat_proofs):
             return False
         beta3 = proof["beta3"]
+        # ONE batched opening check at beta3 across all matrices, with the
+        # per-matrix deg(g3) <= k-2 bounds folded in
+        items_coms, items_vals = [], []
+        for mic, mp in zip(index.index_comms, mat_proofs):
+            if mp.get("k") != mic.k_size:
+                return False
+            ev3 = mp["evals"]
+            index_coms = dict(row=mic.com_row, col=mic.com_col,
+                              val=mic.com_val, g3=mp["com_g3"],
+                              h3=mp["com_h3"])
+            for name in _BETA3_ORDER:
+                items_coms.append(index_coms[name])
+                items_vals.append(ev3[name] % R)
+            items_coms.append(mp["com_g3_shift"])
+            items_vals.append(
+                pow(beta3, D - (mic.k_size - 2), R) * ev3["g3"] % R)
+        xi3 = _fs_xi(b"marlin-xi3", beta3, mat_proofs)
+        if not kzg.verify_batch_open(index.srs, items_coms, items_vals,
+                                     beta3, xi3, proof["w_beta3"]):
+            return False
         vh_a = (pow(alpha, n, R) - 1) % R
         vh_b = v_H_beta
         acc = 0
         for mic, mp, e in zip(index.index_comms, mat_proofs, eta):
-            if not _matrix_sumcheck_verify(index.srs, mic, mp, alpha, beta,
-                                           beta3):
+            if not _matrix_sumcheck_identity(mic, mp, alpha, beta, beta3):
                 return False
             acc = (acc + e * int(mp["sigma"])) % R
         rstar_b = vh_a * vh_b % R * pow(n, -1, R) % R * acc % R
@@ -323,16 +430,13 @@ def verify(index: MarlinIndex, instance_ints, proof) -> bool:
         rstar_b = _rstar_eval_host(index, alpha, eta, beta)
     p_beta = (sum(e * zv for e, zv in
                   zip(eta, (ev["za"], ev["zb"], ev["zc"]))) % R * u_ab
-              - rstar_b * ev["z"]) % R
+              - rstar_b * ev["z"] + ev["m"]) % R
     rhs = (beta * ev["g"] + v_H_beta * ev["q"]) % R
     if p_beta != rhs:
         return False
     # instance consistency: z poly interpolates the public inputs on the
-    # first num_instance domain points
+    # first num_instance domain points (the zk mask vanishes on H)
     omega = dom.omega
-    # open z at omega^j for each instance slot? round-1 subset: recompute
-    # z(omega^j) via ... we instead require the prover to open z at the
-    # instance points; tracked as a gap if absent.
     inst = proof.get("instance_opens")
     if inst is None or len(inst) != len(instance_ints):
         return False
@@ -353,14 +457,73 @@ def _beta3_challenge(mat_proofs) -> int:
     h.update(b"marlin-r3")
     for mp in mat_proofs:
         h.update(int(mp["sigma"]).to_bytes(32, "little"))
-        for pt in (mp["com_g3"], mp["com_h3"]):
+        for pt in (mp["com_g3"], mp["com_h3"], mp["com_g3_shift"]):
             h.update(int(pt[0]).to_bytes(48, "little"))
             h.update(int(pt[1]).to_bytes(48, "little"))
     return int.from_bytes(h.digest(), "little") % R
 
 
+def _fs_xi(tag: bytes, point: int, mat_proofs) -> int:
+    """LC challenge for the batched beta3 opening: binds the query point and
+    every published evaluation."""
+    h = hashlib.blake2b(digest_size=32)
+    h.update(tag)
+    h.update(int(point).to_bytes(32, "little"))
+    for mp in mat_proofs:
+        for name in _BETA3_ORDER:
+            h.update(int(mp["evals"][name]).to_bytes(32, "little"))
+    return int.from_bytes(h.digest(), "little") % R
+
+
+def _fs_xi_beta(beta: int, coms, evals) -> int:
+    """LC challenge for the batched beta opening."""
+    h = hashlib.blake2b(digest_size=32)
+    h.update(b"marlin-xi")
+    h.update(int(beta).to_bytes(32, "little"))
+    for name in _BETA_ORDER:
+        h.update(int(evals[name]).to_bytes(32, "little"))
+    for name in sorted(coms):
+        pt = coms[name]
+        if pt is None:
+            h.update(b"inf")
+        else:
+            h.update(int(pt[0]).to_bytes(48, "little"))
+            h.update(int(pt[1]).to_bytes(48, "little"))
+    return int.from_bytes(h.digest(), "little") % R
+
+
+def _mask_vh(poly: MpcFp, key, n: int) -> MpcFp:
+    """poly + c * v_H for fresh shared c: evals on H unchanged, the
+    published evaluation at any point outside H is perfectly hidden
+    (zk_bound-style randomization, `ahp/prover.rs:280`)."""
+    from ..mpc import share as MS
+    c = MS.rand_shared(key, FR, (1,))
+    p1 = kzg._pad_to(poly, n + 1)
+    return p1 + kzg._place(c, n, n + 1) - kzg._place(c, 0, n + 1)
+
+
+def _sum_zero_mask(key, n: int) -> MpcFp:
+    """Random shared polynomial of degree n with sum_H m = 0 (the sumcheck
+    mask, `ahp/prover.rs:371-376`): for deg <= n, sum_H m = n*(m_0 + m_n),
+    so pin m_n = -m_0."""
+    from ..mpc import share as MS
+    m = MS.rand_shared(key, FR, (n + 1,))
+    return MpcFp.concat([m[0:1], m[1:n], -m[0:1]], axis=0)
+
+
+def _vanish_n_inv_on_coset(big: Domain, n: int) -> FpArray:
+    """1 / v_{H_n}(x) on the coset of the 2n domain: with x = g w_{2n}^i,
+    x^n = g^n (-1)^i, so the evals alternate between two constants."""
+    p = FR.p
+    gn = pow(big.coset_gen, n, p)
+    even = pow((gn - 1) % p, -1, p)
+    odd = pow((p - gn - 1) % p, -1, p)
+    vals = [even if i % 2 == 0 else odd for i in range(2 * n)]
+    return FpArray.from_int(FR, np.asarray(vals, dtype=object))
+
+
 def _matrix_sumcheck_prove(dsrs, mic: MatrixIndexComms, alpha: int,
-                           beta: int) -> dict:
+                           beta: int, D: int) -> dict:
     """Univariate sumcheck over the index domain K for
     sigma = sum_{kappa in K} val(kappa) col(kappa) /
             ((alpha - row(kappa)) (beta - col(kappa))).
@@ -422,26 +585,29 @@ def _matrix_sumcheck_prove(dsrs, mic: MatrixIndexComms, alpha: int,
     def com(poly):
         pt = M_.sw_msm(dsrs.powers[0:poly.shape[-1]], poly)
         return tuple(int(x) for x in pt.to_affine_ints()[0])
+
+    # deg(g3) <= k-2 (k-1 coefficients), enforced by the shifted commitment
+    g3 = FpArray(g3.limbs[:k - 1], FR, g3.bound)
+
+    def com_shift(poly, shift):
+        pt = M_.sw_msm(dsrs.powers[shift:shift + poly.shape[-1]], poly)
+        return tuple(int(x) for x in pt.to_affine_ints()[0])
     return dict(sigma=sigma, com_g3=com(g3), com_h3=com(h3_poly),
+                com_g3_shift=com_shift(g3, D - (k - 2)),
                 g3_poly=g3, h3_poly=h3_poly, k=k)
 
 
-def _matrix_sumcheck_verify(srs, mic: MatrixIndexComms, mp: dict,
-                            alpha: int, beta: int, beta3: int) -> bool:
+def _matrix_sumcheck_identity(mic: MatrixIndexComms, mp: dict,
+                              alpha: int, beta: int, beta3: int) -> bool:
+    """Check the committed sumcheck identity at beta3 from the published
+    evaluations (the KZG opening itself is verified in the batched check)."""
     k = mic.k_size
-    if mp.get("k") != k:
-        return False
-    opens = mp["opens"]
-    index_coms = dict(row=mic.com_row, col=mic.com_col, val=mic.com_val,
-                      g3=mp["com_g3"], h3=mp["com_h3"])
-    for name, (w_pt, v_int) in opens.items():
-        if not kzg.verify_open(srs, index_coms[name], beta3, v_int, w_pt):
-            return False
-    row_b = opens["row"][1]
-    col_b = opens["col"][1]
-    val_b = opens["val"][1]
-    g3_b = opens["g3"][1]
-    h3_b = opens["h3"][1]
+    ev3 = mp["evals"]
+    row_b = ev3["row"]
+    col_b = ev3["col"]
+    val_b = ev3["val"]
+    g3_b = ev3["g3"]
+    h3_b = ev3["h3"]
     sigma = int(mp["sigma"]) % R
     vk_b3 = (pow(beta3, k, R) - 1) % R
     lhs = (val_b * col_b
