@@ -11,13 +11,17 @@ metrics, each with its own vs_baseline:
   - SHE preprocessing wall-clock (reference Groth16-path init: 1.5 s,
     `docs/benchmark.md:5-7`)
 
-Timing protocol: 20 steady-state reps per metric, median reported,
-IQR printed to stderr (the round-2 bench took a median of 3 — too few).
+Robustness: the whole run operates under a wall-clock budget
+(ZKMPC_BENCH_BUDGET_S, default 1500 s).  A SIGTERM/SIGALRM watchdog emits
+the best-available JSON line before exiting, so a driver-side `timeout`
+never yields an empty record (round-3 failure mode: rc=124, no metric).
+Steady-state reps are sized to the remaining budget (target 20, min 3).
 """
 
 import json
 import os
 import pickle
+import signal
 import statistics
 import sys
 import time
@@ -33,6 +37,43 @@ N_PARTIES = 3
 REPS = 20
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
+BUDGET_S = float(os.environ.get("ZKMPC_BENCH_BUDGET_S", 1500))
+_T_START = time.time()
+_RESULT = {"headline": None, "extras": [], "emitted": False}
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - _T_START)
+
+
+def _emit(partial: bool) -> None:
+    """Print the single JSON line from whatever has been measured so far."""
+    if _RESULT["emitted"]:
+        return
+    h = _RESULT["headline"]
+    if h is None:
+        if not _RESULT["extras"]:
+            return  # nothing measured at all; let the caller's rc stand
+        # headline prove didn't finish: promote the first extra so the
+        # driver still records a real measured metric
+        h = dict(_RESULT["extras"][0])
+        h["note"] = "headline prove did not finish in budget"
+    else:
+        h = dict(h)
+    h["extras"] = list(_RESULT["extras"])
+    if partial:
+        h["partial"] = True
+    _RESULT["emitted"] = True
+    print(json.dumps(h))
+    sys.stdout.flush()
+
+
+def _watchdog(signum, frame):
+    print(f"# watchdog: signal {signum} at {time.time() - _T_START:.0f}s — "
+          f"emitting partial result", file=sys.stderr)
+    _emit(partial=True)
+    os._exit(0)
+
 
 def _timed(step, args, label, reps=REPS):
     import jax
@@ -42,17 +83,22 @@ def _timed(step, args, label, reps=REPS):
     print(f"# {label} first call (compile+run): {time.time() - t0:.1f}s",
           file=sys.stderr)
     times = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
         out = step(*args)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
+        # budget check: keep >=3 reps, then bail if we're running dry
+        if i >= 2 and _remaining() < 60:
+            print(f"# {label}: stopping at {i + 1}/{reps} reps "
+                  f"(budget)", file=sys.stderr)
+            break
     times.sort()
     med = statistics.median(times)
     q1 = times[len(times) // 4]
     q3 = times[(3 * len(times)) // 4]
     print(f"# {label}: median {med * 1e3:.2f}ms  IQR [{q1 * 1e3:.2f}, "
-          f"{q3 * 1e3:.2f}]ms over {reps} reps", file=sys.stderr)
+          f"{q3 * 1e3:.2f}]ms over {len(times)} reps", file=sys.stderr)
     return med, out
 
 
@@ -63,20 +109,53 @@ def bench_pedersen_prove():
     dpk = driver.cached_pedersen_dpk(N_PARTIES, cache_dir=CACHE)
     fn, args = driver.make_pedersen_prove_fn_dpk(dpk, N_PARTIES)
     step = jax.jit(fn)
-    t, out = _timed(step, args, "pedersen_prove")
+    n_cons = dpk.pk.num_constraints
+    metric = (f"mpc_groth16_prove_pedersen_com_{n_cons}c_"
+              f"{N_PARTIES}party")
+
+    # first call (compile) + one rep -> provisional result, so a watchdog
+    # fire during the remaining reps still reports a real measurement
+    t0 = time.time()
+    out = step(*args)
+    jax.block_until_ready(out)
+    print(f"# pedersen_prove first call (compile+run): "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    out = step(*args)
+    jax.block_until_ready(out)
+    t1 = time.time() - t0
+    _RESULT["headline"] = {"metric": metric, "value": round(t1, 4),
+                           "unit": "s",
+                           "vs_baseline": round(BASELINE_PROVE_S / t1, 2)}
+
+    times = [t1]
+    reps = REPS if _remaining() > 120 else 3
+    for i in range(reps - 1):
+        t0 = time.time()
+        out = step(*args)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+        if i >= 1 and _remaining() < 60:
+            break
+    times.sort()
+    t = statistics.median(times)
+    q1 = times[len(times) // 4]
+    q3 = times[(3 * len(times)) // 4]
+    print(f"# pedersen_prove: median {t * 1e3:.2f}ms  IQR "
+          f"[{q1 * 1e3:.2f}, {q3 * 1e3:.2f}]ms over {len(times)} reps",
+          file=sys.stderr)
+
     proof_ints = driver.proof_arrays_to_ints(
         [jax.device_get(o) for o in out])
     ok = groth16.verify(dpk.pk.vk, driver.expected_pedersen_instance(N_PARTIES),
                         proof_ints)
     assert ok, "benchmark proof failed verification!"
-    n_cons = dpk.pk.num_constraints
-    return {"metric": f"mpc_groth16_prove_pedersen_com_{n_cons}c_"
-                      f"{N_PARTIES}party",
-            "value": round(t, 4), "unit": "s",
-            "vs_baseline": round(BASELINE_PROVE_S / t, 2)}
+    _RESULT["headline"] = {"metric": metric, "value": round(t, 4),
+                           "unit": "s",
+                           "vs_baseline": round(BASELINE_PROVE_S / t, 2)}
 
 
-def bench_bit_protocols():
+def bench_bit_protocols(only=None, skip=None):
     import jax
     from zkmpc_tpu.mpc import bits as B
     from zkmpc_tpu.mpc.share import MpcContext, MpcFp, SHARED, mpc_scope
@@ -108,22 +187,38 @@ def bench_bit_protocols():
             return B.less_than(a, b, key).value.limbs
 
     key = jax.random.PRNGKey(17)
-    out = []
     for name, fn, args, base in (
             ("equality_zero", eqz, (deal(0), key), BASELINE_EQZ_S),
             ("bit_decomposition", bitdec, (deal(123456789), key),
              BASELINE_BITDEC_S),
             ("less_than", lt, (deal(5), deal(9), key), BASELINE_LT_S)):
-        t, _ = _timed(jax.jit(fn), args, name)
-        out.append({"metric": f"{name}_1op_{N_PARTIES}party",
-                    "value": round(t, 5), "unit": "s",
-                    "vs_baseline": round(base / t, 1)})
-    return out
+        if only is not None and name != only:
+            continue
+        if skip is not None and name == skip:
+            continue
+        if _remaining() < 90:
+            print(f"# skipping {name} (budget)", file=sys.stderr)
+            continue
+        try:
+            t, _ = _timed(jax.jit(fn), args, name)
+        except Exception as e:  # never lose the headline to an extra
+            print(f"# {name} failed: {e!r}", file=sys.stderr)
+            continue
+        _RESULT["extras"].append(
+            {"metric": f"{name}_1op_{N_PARTIES}party",
+             "value": round(t, 5), "unit": "s",
+             "vs_baseline": round(base / t, 1)})
 
 
 def bench_preprocessing():
+    """SHE preprocessing wall-clock.  Runs EAGERLY (the protocol drivers are
+    host-orchestrated), which on an axon-tunneled TPU pays ~ms per op
+    dispatch — so this bench gets its own sub-deadline: if the warm-up run
+    exceeds it, the metric is skipped rather than eating the whole budget."""
     import jax
     from zkmpc_tpu.she import bgv, preprocessing as PP
+
+    sub_deadline = time.time() + min(300.0, max(0.0, _remaining() - 60))
 
     def run(seed):
         params = bgv.SheParams(8)
@@ -132,18 +227,37 @@ def bench_preprocessing():
         PP.pair(ctx, jax.random.PRNGKey(seed + 2))
         PP.triple(ctx, jax.random.PRNGKey(seed + 3))
 
-    run(100)                         # warm the compile caches
+    def alarm(signum, frame):
+        raise TimeoutError("preprocessing sub-deadline")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    signal.alarm(max(1, int(sub_deadline - time.time())))
+    try:
+        run(100)                     # warm the compile caches
+    except TimeoutError:
+        print("# preprocessing bench skipped (sub-deadline)", file=sys.stderr)
+        return
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+        if _remaining() > 0:
+            signal.signal(signal.SIGALRM, _watchdog)
+            signal.alarm(max(1, int(_remaining())))
+
     times = []
     for i in range(5):
         t0 = time.time()
         run(200 + 10 * i)
         times.append(time.time() - t0)
+        if _remaining() < 30 or time.time() > sub_deadline:
+            break
     t = statistics.median(times)
-    print(f"# she_preprocessing: median {t:.3f}s over 5 reps",
+    print(f"# she_preprocessing: median {t:.3f}s over {len(times)} reps",
           file=sys.stderr)
-    return {"metric": f"she_preprocessing_init_pair_triple_{N_PARTIES}party",
-            "value": round(t, 3), "unit": "s",
-            "vs_baseline": round(BASELINE_PREPROC_S / t, 2)}
+    _RESULT["extras"].append(
+        {"metric": f"she_preprocessing_init_pair_triple_{N_PARTIES}party",
+         "value": round(t, 3), "unit": "s",
+         "vs_baseline": round(BASELINE_PREPROC_S / t, 2)})
 
 
 def main():
@@ -151,11 +265,31 @@ def main():
     from zkmpc_tpu.utils import cachedir
     cachedir.configure(jax)
 
-    headline = bench_pedersen_prove()
-    extras = bench_bit_protocols()
-    extras.append(bench_preprocessing())
-    headline["extras"] = extras
-    print(json.dumps(headline))
+    signal.signal(signal.SIGTERM, _watchdog)
+    signal.signal(signal.SIGINT, _watchdog)
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(max(int(BUDGET_S), 60))
+
+    # cheapest-compile metric first: guarantees a real measurement exists
+    # within a few minutes even if the prove compile is cold and the
+    # driver's timeout fires (the watchdog then promotes it to the
+    # headline slot).  equality_zero is one small jitted graph; the SHE
+    # preprocessing bench runs LAST — it executes eagerly, and on the
+    # axon-tunneled TPU per-op dispatch makes eager protocol runs slow.
+    try:
+        bench_bit_protocols(only="equality_zero")
+    except Exception as e:
+        print(f"# eqz bench failed: {e!r}", file=sys.stderr)
+    bench_pedersen_prove()
+    if _remaining() > 90:
+        bench_bit_protocols(skip="equality_zero")
+    if _remaining() > 120:
+        try:
+            bench_preprocessing()
+        except Exception as e:
+            print(f"# preprocessing bench failed: {e!r}", file=sys.stderr)
+    signal.alarm(0)
+    _emit(partial=False)
 
 
 if __name__ == "__main__":

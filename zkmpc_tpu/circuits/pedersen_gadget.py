@@ -205,10 +205,7 @@ def pedersen_commit_gadget(cs: ConstraintSystem, m_bits: list, r_bits: list,
             acc = acc.conditionally_add_constant(bits[i], bases[i])
         return acc
     leaves = _window_lookup_leaves(cs, bits, bases)
-    while len(leaves[0]) > 1:
-        leaves = _te_tree_level(cs, leaves)
-    x_vars, y_vars = leaves[0], leaves[1]
-    return TEAffineVar(x_vars[0], y_vars[0])
+    return _te_tree_scan(cs, leaves)
 
 
 def _window_lookup_leaves(cs, bits, bases):
@@ -279,6 +276,146 @@ def _alloc_vec(cs, vals):
     vs = cs.new_witness_vec(vals)
     return [FpVar(cs, LC.of(v), B._index_last(vals, i))
             for i, v in enumerate(vs)]
+
+
+def _te_tree_scan(cs, leaves) -> TEAffineVar:
+    """All tree levels of the Pedersen point fold in ONE `lax.scan`.
+
+    The VALUE computation (the traced graph) runs as a single masked
+    fixed-width scan body — one set of Beaver-mul/inverse constructs for all
+    log2(n) levels, instead of one inlined copy per level (the unrolled tree
+    was ~40k jaxpr eqns of the prove graph's compile mass).  The
+    wires/constraints are emitted per level on host from the stacked scan
+    outputs, in exactly the order the unrolled `_te_tree_level` loop used,
+    so the constraint system is unchanged (ark parity:
+    `r1cs_helper/groups/curves/twisted_edwards/mod.rs:273` add gadget
+    formulas, reassociated into a tree)."""
+    import jax
+
+    from ..mpc import bits as B
+    from ..mpc.share import MpcFp, _promote_to_shared, beaver_inv
+    from ..ops.limbs import FpArray as _FA
+    from ..snark.gadgets import _stack_values
+
+    x_vars, y_vars = leaves
+    m = len(x_vars)
+    if m == 1:
+        return TEAffineVar(x_vars[0], y_vars[0])
+
+    ms = []
+    mm = m
+    while mm > 1:
+        ms.append(mm)
+        mm = (mm + 1) // 2
+    Wh = (m + 1) // 2
+    Wfull = 2 * Wh
+
+    xv = _stack_values([v.value for v in x_vars])
+    yv = _stack_values([v.value for v in y_vars])
+    if not xv.is_shared():
+        xv = _promote_to_shared(xv)
+    if not yv.is_shared():
+        yv = _promote_to_shared(yv)
+    if Wfull > m:
+        pad = Wfull - m
+
+        def fill(v):
+            return MpcFp.from_public(_FA.from_int(
+                cs.spec, np.full((pad,), v, dtype=object)))
+        xv = B._concat_last(xv, fill(0))
+        yv = B._concat_last(yv, fill(1))
+    state = (B._norm2(xv), B._norm2(yv))
+
+    import jax.numpy as jnp
+    m_arr = jnp.asarray(ms, dtype=jnp.int32)
+    d_fp = MpcFp.const(cs.spec, ED_D)
+    one = MpcFp.const(cs.spec, 1)
+
+    def gather(w: MpcFp, idx):
+        def f(fp):
+            return _FA(jnp.take(fp.limbs, idx, axis=-2), fp.spec, fp.bound)
+        return MpcFp(f(w.value), w.visibility,
+                     None if w.mac is None else f(w.mac))
+
+    def sel(cond, a: MpcFp, b: MpcFp) -> MpcFp:
+        def f(fa, fb):
+            c = jnp.broadcast_to(cond[..., None], fa.limbs.shape)
+            return _FA(jnp.where(c, fa.limbs, fb.limbs), fa.spec,
+                       max(fa.bound, fb.bound))
+        mac = None
+        if a.mac is not None and b.mac is not None:
+            mac = f(a.mac, b.mac)
+        return MpcFp(f(a.value, b.value), a.visibility, mac)
+
+    def body(carry, m_l):
+        X, Y = carry                       # [.., Wfull] shared
+        m2 = m_l // 2
+        odd = m_l - 2 * m2
+        iota = jnp.arange(Wh, dtype=jnp.int32)
+        ax, ay = B._slice_last(X, 0, Wh), B._slice_last(Y, 0, Wh)
+        bidx = jnp.minimum(iota + m2, Wfull - 1)
+        bx, by = gather(X, bidx), gather(Y, bidx)
+        lhs = MpcFp.concat([ax, ay, ax, ay], axis=0)
+        rhs = MpcFp.concat([bx, by, by, bx], axis=0)
+        prods = lhs * rhs                  # ONE fused Beaver round
+        u_v, v_v = prods[0:Wh], prods[Wh:2 * Wh]
+        xy_v, yx_v = prods[2 * Wh:3 * Wh], prods[3 * Wh:4 * Wh]
+        t_v = u_v * v_v
+        dt = t_v * d_fp
+        denx = one + dt
+        deny = one - dt
+        inv = beaver_inv(MpcFp.concat([denx, deny], axis=0))
+        num = MpcFp.concat([xy_v + yx_v, v_v + u_v], axis=0)
+        res = num * inv                    # ONE fused Beaver round
+        x3, y3 = res[0:Wh], res[Wh:2 * Wh]
+        # next level: results in lanes [0, m2), odd leftover at lane m2
+        lidx = jnp.full((Wh,), 0, jnp.int32) + jnp.maximum(m_l - 1, 0)
+        lx, ly = gather(X, lidx), gather(Y, lidx)
+        pos_odd = (iota == m2) & (odd == 1)
+        nx = B._norm2(sel(pos_odd, lx, x3))
+        ny = B._norm2(sel(pos_odd, ly, y3))
+        nX = MpcFp.concat([nx, nx], axis=0)
+        nY = MpcFp.concat([ny, ny], axis=0)
+        outs = tuple(B._norm2(w) for w in (u_v, v_v, t_v, xy_v, yx_v, x3, y3))
+        return (B._norm2(nX), B._norm2(nY)), outs
+
+    _, stk = jax.lax.scan(body, state, m_arr)
+
+    def level_vals(w: MpcFp, l: int, m2: int) -> MpcFp:
+        def f(fp):
+            return _FA(fp.limbs[l, ..., :m2, :], fp.spec, fp.bound)
+        return MpcFp(f(w.value), w.visibility,
+                     None if w.mac is None else f(w.mac))
+
+    cur_x, cur_y = list(x_vars), list(y_vars)
+    for l, m_l in enumerate(ms):
+        m2 = m_l // 2
+        u_w = _alloc_vec(cs, level_vals(stk[0], l, m2))
+        v_w = _alloc_vec(cs, level_vals(stk[1], l, m2))
+        t_w = _alloc_vec(cs, level_vals(stk[2], l, m2))
+        xy_w = _alloc_vec(cs, level_vals(stk[3], l, m2))
+        yx_w = _alloc_vec(cs, level_vals(stk[4], l, m2))
+        x3_w = _alloc_vec(cs, level_vals(stk[5], l, m2))
+        y3_w = _alloc_vec(cs, level_vals(stk[6], l, m2))
+        for i in range(m2):
+            ax_, ay_ = cur_x[i], cur_y[i]
+            bx_, by_ = cur_x[m2 + i], cur_y[m2 + i]
+            cs.enforce(ax_.lc, bx_.lc, u_w[i].lc)
+            cs.enforce(ay_.lc, by_.lc, v_w[i].lc)
+            cs.enforce(u_w[i].lc, v_w[i].lc, t_w[i].lc)
+            cs.enforce(ax_.lc, by_.lc, xy_w[i].lc)
+            cs.enforce(ay_.lc, bx_.lc, yx_w[i].lc)
+            denx_lc = LC.constant(1) + t_w[i].lc.scale(ED_D % cs.spec.p)
+            deny_lc = LC.constant(1) - t_w[i].lc.scale(ED_D % cs.spec.p)
+            cs.enforce(x3_w[i].lc, denx_lc, xy_w[i].lc + yx_w[i].lc)
+            cs.enforce(y3_w[i].lc, deny_lc, v_w[i].lc + u_w[i].lc)
+        nx_vars, ny_vars = list(x3_w), list(y3_w)
+        if m_l % 2:
+            nx_vars.append(cur_x[m_l - 1])
+            ny_vars.append(cur_y[m_l - 1])
+        cur_x, cur_y = nx_vars, ny_vars
+    assert len(cur_x) == 1
+    return TEAffineVar(cur_x[0], cur_y[0])
 
 
 def _te_tree_level(cs, level):

@@ -56,9 +56,29 @@ def b_not(a: MpcFp) -> MpcFp:
     return MpcFp.const(a.spec, 1) - a
 
 
-def _tree_reduce_lastaxis(bits: MpcFp, op) -> MpcFp:
-    """Reduce [.., n] -> [..] with a log-depth tree of batched ops."""
+def _tree_reduce_lastaxis(bits: MpcFp, op, fill_one: bool = False) -> MpcFp:
+    """Reduce [.., n] -> [..] with a log-depth tree of batched ops.
+
+    For shared inputs the log levels run inside ONE `lax.scan` over shift
+    distances (masked fixed-width combines, result at index 0), so the traced
+    graph carries a single op body instead of log2(n) inlined copies —
+    compile-size: the unrolled form was ~8 Beaver-mul graphs per k-ary
+    reduction, the dominant mass of the bit-protocol graphs."""
     x = bits
+    n = x.shape[-1]
+    if n == 1:
+        return _index_last(x, 0)
+    if x.is_shared():
+        nlev = (n - 1).bit_length()
+        ds = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
+        x = _norm2(x)
+
+        def body(y, d):
+            sh = _dyn_shift_down(y, d, fill_one=fill_one)
+            return _norm2(op(y, sh)), None
+
+        y, _ = jax.lax.scan(body, x, ds)
+        return _index_last(y, 0)
     while x.shape[-1] > 1:
         n = x.shape[-1]
         half = n // 2
@@ -72,11 +92,84 @@ def _tree_reduce_lastaxis(bits: MpcFp, op) -> MpcFp:
 
 
 def kary_and(bits: MpcFp) -> MpcFp:
-    return _tree_reduce_lastaxis(bits, b_and)
+    return _tree_reduce_lastaxis(bits, b_and, fill_one=True)
 
 
 def kary_or(bits: MpcFp) -> MpcFp:
-    return _tree_reduce_lastaxis(bits, b_or)
+    return _tree_reduce_lastaxis(bits, b_or, fill_one=False)
+
+
+# --- scan-friendly helpers: static-bound normalization + dynamic shifts ----
+
+
+def _norm2_fp(fp: FpArray) -> FpArray:
+    fp = fp.tighten()
+    if fp.bound != 2:
+        fp = FpArray(fp.limbs, fp.spec, 2)   # bound<2 relabels (sound)
+    return fp
+
+
+def _norm2(x: MpcFp) -> MpcFp:
+    """Normalize the static bound metadata to exactly 2 so an MpcFp can ride
+    a `lax.scan` carry (aux data must match between iterations)."""
+    return MpcFp(_norm2_fp(x.value), x.visibility,
+                 None if x.mac is None else _norm2_fp(x.mac))
+
+
+def _fill_wire(x: MpcFp, fill_one: bool) -> MpcFp:
+    """The element shifted in at the boundary: shared zero or (promoted)
+    public one, with a matching mac under spdz."""
+    if not fill_one:
+        zero = FpArray.zeros(x.spec, ())
+        mac = None if x.mac is None else FpArray.zeros(x.spec, ())
+        return MpcFp(zero, x.visibility, mac)
+    from .share import _promote_to_shared
+    one = MpcFp.const(x.spec, 1)
+    return _promote_to_shared(one) if x.is_shared() else one
+
+
+def _dyn_fill_limbs(fp: FpArray, fill: FpArray):
+    """Broadcast a fill element's limbs to fp's shape (party axis aligned)."""
+    lead = fill.limbs.shape[:-1]
+    nl = fp.limbs.shape[-1]
+    mid = (1,) * (fp.limbs.ndim - len(lead) - 1)
+    src = fill.limbs.reshape(lead + mid + (nl,))
+    return jnp.broadcast_to(src, fp.limbs.shape)
+
+
+def _dyn_shift(x: MpcFp, d, up: bool, fill_one: bool) -> MpcFp:
+    """y_i = x_{i-d} (up) or x_{i+d} (down) along the bit axis, with a
+    traced shift distance d (roll + mask) — usable inside `lax.scan`."""
+    n = x.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    fillw = _fill_wire(x, fill_one)
+    if up:
+        mask = (iota >= d)[:, None]
+        amt = d
+    else:
+        mask = (iota + d < n)[:, None]
+        amt = -d
+
+    def f(fp: FpArray, fill: FpArray):
+        rolled = jnp.roll(fp.limbs, amt, axis=-2)
+        out = jnp.where(mask, rolled, _dyn_fill_limbs(fp, fill))
+        return FpArray(out, fp.spec, max(fp.bound, fill.bound))
+
+    val = f(x.value, fillw.value)
+    mac = None
+    if x.mac is not None:
+        mac_fill = fillw.mac if fillw.mac is not None \
+            else FpArray.zeros(x.spec, ())
+        mac = f(x.mac, mac_fill)
+    return MpcFp(val, x.visibility, mac)
+
+
+def _dyn_shift_down(x: MpcFp, d, fill_one: bool = False) -> MpcFp:
+    return _dyn_shift(x, d, up=False, fill_one=fill_one)
+
+
+def _dyn_shift_up(x: MpcFp, d, fill_one: bool = False) -> MpcFp:
+    return _dyn_shift(x, d, up=True, fill_one=fill_one)
 
 
 def _slice_last(x: MpcFp, a, b) -> MpcFp:
@@ -118,26 +211,40 @@ def _index_last(x: MpcFp, i) -> MpcFp:
 
 def sqrt_public(x: FpArray) -> FpArray:
     """Batched square root of public quadratic residues (undefined output for
-    non-residues; 0 -> 0).  Constant-structure Tonelli-Shanks."""
+    non-residues; 0 -> 0).  Constant-structure Tonelli-Shanks.
+
+    The s-1 outer rounds run in ONE `lax.scan` (the inner t^(2^i) is a
+    dynamic-trip-count fori_loop), so the traced graph is O(1) field-ops
+    instead of the O(s^2) ~1000 inlined squarings the unrolled form carried
+    (BLS12-377 Fr has 2-adicity 47 — the unrolled version dominated every
+    spdz-backend protocol graph via `bit_rand_sqrt`)."""
     spec = x.spec
     p = spec.p
     s = spec.two_adicity
     q = (p - 1) >> s
     z = pow(spec.generator % p, q, p)   # order-2^s element
-    c = FpArray.from_int(spec, np.asarray(z, dtype=object))
-    c = c.broadcast_to(x.shape)
-    t = x.pow_const(q)
-    r = x.pow_const((q + 1) // 2)
+
+    def n2(f: FpArray) -> FpArray:
+        f = f.tighten()
+        return f if f.bound == 2 else FpArray(f.limbs, spec, 2)
+
+    c = n2(FpArray.from_int(spec, np.asarray(z, dtype=object))
+           .broadcast_to(x.shape))
+    t = n2(x.pow_const(q))
+    r = n2(x.pow_const((q + 1) // 2))
     one = FpArray.ones(spec, x.shape)
-    for i in range(s - 2, -1, -1):
-        d = t
-        for _ in range(i):
-            d = d.square()
-        flag = ~d.equals(one) & ~t.equals(one)
-        r = FpArray.select(flag, r * c, r)
-        c2 = c.square()
-        t = FpArray.select(flag, t * c2, t)
-        c = c2
+
+    def body(carry, i):
+        r_, t_, c_ = carry
+        d = jax.lax.fori_loop(0, i, lambda _, a: n2(a.square()), t_)
+        flag = ~d.equals(one) & ~t_.equals(one)
+        r2 = FpArray.select(flag, r_ * c_, r_)
+        c2 = n2(c_.square())
+        t2 = FpArray.select(flag, t_ * c2, t_)
+        return (n2(r2), n2(t2), c2), None
+
+    ivals = jnp.arange(s - 2, -1, -1, dtype=jnp.int32)
+    (r, _, _), _ = jax.lax.scan(body, (r, t, c), ivals)
     return r
 
 
@@ -239,8 +346,22 @@ def rand_number_bitwise(key, spec: FieldSpec, shape=(), attempts: int = 16):
 
 
 def _prefix_products(x: MpcFp) -> MpcFp:
-    """Inclusive prefix products along the last axis (log-depth, batched)."""
+    """Inclusive prefix products along the last axis (log-depth, batched).
+
+    Shared inputs: ONE scanned Beaver-mul body over the log levels."""
     n = x.shape[-1]
+    if n == 1:
+        return x
+    if x.is_shared():
+        nlev = (n - 1).bit_length()
+        ds = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
+        y = _norm2(x)
+
+        def body(y_, d):
+            return _norm2(y_ * _dyn_shift_up(y_, d, fill_one=True)), None
+
+        y, _ = jax.lax.scan(body, y, ds)
+        return y
     y = x
     d = 1
     while d < n:
@@ -362,8 +483,22 @@ def bitwise_lt_public_rhs(a_bits: MpcFp, b_bits_ints) -> MpcFp:
 
 
 def _suffix_or(x: MpcFp) -> MpcFp:
-    """s_i = OR_{j>=i} x_j along the last axis (log-depth)."""
+    """s_i = OR_{j>=i} x_j along the last axis (log-depth).
+
+    Shared inputs: ONE scanned Beaver-mul body over the log levels."""
     n = x.shape[-1]
+    if n == 1:
+        return x
+    if x.is_shared():
+        nlev = (n - 1).bit_length()
+        ds = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
+        y = _norm2(x)
+
+        def body(y_, d):
+            return _norm2(b_or(y_, _dyn_shift_down(y_, d))), None
+
+        y, _ = jax.lax.scan(body, y, ds)
+        return y
     y = x
     d = 1
     while d < n:
@@ -516,8 +651,26 @@ def carries(a_bits: MpcFp, b_bits: MpcFp) -> MpcFp:
     q = b_xor(a_bits, b_bits)
     # parallel prefix on (g, q): (g2, q2) o (g1, q1) = (g2 + q2*g1, q2*q1)
     G, Q = g, q
-    d = 1
     n = a_bits.shape[-1]
+    if n > 1 and G.is_shared() and Q.is_shared():
+        # scan over the log levels with the two level-muls FUSED into one
+        # batched Beaver round: [Q, Q] * [G_sh, Q_sh] (ONE mul body traced)
+        nlev = (n - 1).bit_length()
+        ds = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
+        G, Q = _norm2(G), _norm2(Q)
+
+        def body(carry, d):
+            G_, Q_ = carry
+            G_sh = _dyn_shift_up(G_, d)
+            Q_sh = _dyn_shift_up(Q_, d, fill_one=True)
+            prod = _concat_last(Q_, Q_) * _concat_last(G_sh, Q_sh)
+            G2 = G_ + _slice_last(prod, 0, n)
+            Q2 = _slice_last(prod, n, 2 * n)
+            return (_norm2(G2), _norm2(Q2)), None
+
+        (G, _), _ = jax.lax.scan(body, (G, Q), ds)
+        return G
+    d = 1
     while d < n:
         G_sh = _shift_by_zero(G, d)
         Q_sh = _shift_by_zero(Q, d, fill_one=True)

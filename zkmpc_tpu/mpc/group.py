@@ -146,9 +146,7 @@ class MpcSWPoint:
             return self.point
         t = T.current()
         gathered = _tree_gather(t, self.point)  # leading axis = parties
-        acc = _index0(gathered, 0)
-        for i in range(1, t.n_parties):
-            acc = sw_add_complete(acc, _index0(gathered, i))
+        acc = _fold_leading_axis(gathered, t.n_parties)
         if t.kind == "stacked":
             acc = M._bcast_sw(acc, (t.n_parties,) + acc.shape)
         if self.mac is not None:
@@ -162,6 +160,20 @@ class MpcSWPoint:
 
 def _index0(p: SWPoint, i: int) -> SWPoint:
     return p[i]
+
+
+def _fold_leading_axis(p: SWPoint, n: int) -> SWPoint:
+    """Sum a point tree over its leading (party) axis with a masked log-depth
+    fori fold — ONE `sw_add_complete` in the traced graph instead of n-1
+    inlined copies (each is ~5k eqns for G1, ~15k for G2; the unrolled party
+    folds were a large slice of the prove graph's compile mass)."""
+    if n == 1:
+        return _index0(p, 0)
+    # move the party axis to the last batch axis and reuse the masked fold
+    moved = jax.tree_util.tree_map(
+        lambda leaf: jnp.moveaxis(leaf, 0, -2 if leaf.dtype == jnp.uint32
+                                  else -1), p)
+    return M._sw_reduce_last(moved)
 
 
 def _alpha_scale(point: SWPoint) -> SWPoint:
@@ -293,23 +305,62 @@ def scale_many(pairs) -> list:
     scal_t = FpArray.concat(scal, axis=-2)     # -2: last batch axis (limbs last)
     prods = sw_scalar_mul(bases_t, scal_t)    # ONE ladder for every term
 
-    out = []
-    for j in range(k):
-        db = _take_trailing(prods, j)
-        aE = _take_trailing(prods, k + j)
-        dE = _take_trailing(prods, 2 * k + j)
-        mac_db = mac_aE = None
-        if spdz:
-            mac_db = _take_trailing(prods, 3 * k + j)
-            mac_aE = _take_trailing(prods, 4 * k + j)
-        Cj = MpcSWPoint(_take_trailing(Cp.point, j), SHARED,
-                        None if Cp.mac is None
-                        else _take_trailing(Cp.mac, j))
-        term_db = MpcSWPoint(db, SHARED, mac_db)
-        term_aE = MpcSWPoint(aE, SHARED, mac_aE)
-        term_dE = MpcSWPoint(dE, PUBLIC)
-        out.append(Cj + term_db + term_aE + term_dE)
-    return out
+    def tslice(p, a, b):
+        return jax.tree_util.tree_map(
+            lambda leaf: leaf[..., a:b, :] if leaf.dtype == jnp.uint32
+            else leaf[..., a:b], p)
+
+    db = tslice(prods, 0, k)                  # [.., k]
+    aE = tslice(prods, k, 2 * k)
+    dE = tslice(prods, 2 * k, 3 * k)
+    # per-pair shared sum C + d*B + a*E in ONE masked log fold (the trailing
+    # term axis folds with a single add_complete in the graph, vs 3k inlined
+    # adds before — each ~5k eqns)
+    stack = _stack_term_axis([Cp.point, db, aE])        # [.., k, 3]
+    shared_sum = M._sw_reduce_last(stack)               # [.., k]
+    mac_sum = None
+    if spdz:
+        mac_db = tslice(prods, 3 * k, 4 * k)
+        mac_aE = tslice(prods, 4 * k, 5 * k)
+        mac_sum = M._sw_reduce_last(
+            _stack_term_axis([Cp.mac, mac_db, mac_aE]))
+    res = MpcSWPoint(shared_sum, SHARED, mac_sum) + \
+        MpcSWPoint.from_public_party_layout(dE)         # one public add
+    return [MpcSWPoint(_take_trailing(res.point, j), SHARED,
+                       None if res.mac is None
+                       else _take_trailing(res.mac, j)) for j in range(k)]
+
+
+def _stack_term_axis(pts):
+    """Stack k same-shaped point trees along a NEW trailing batch axis.
+    Bound metadata is normalized first so the trees' aux data match."""
+    from ..ops.curve import _point_bound2
+    pts = [_point_bound2(p.tighten()) for p in pts]
+    return jax.tree_util.tree_map(
+        lambda *leaves: (jnp.stack(leaves, axis=-2)
+                         if leaves[0].dtype == jnp.uint32
+                         else jnp.stack(leaves, axis=-1)), *pts)
+
+
+def scale_sum(pairs, extra_shared=()) -> MpcSWPoint:
+    """sum_j x_j * P_j (+ sum of extra SHARED points), with every shared
+    term folded by ONE masked log fold.  Compile-size companion to
+    `scale_many` for consumers that only need the sum (Groth16's
+    C = h-msm + l-msm + s*A + r*B1, `src/groth16.rs:104-182`)."""
+    outs = scale_many(pairs)
+    terms = list(outs) + list(extra_shared)
+    if len(terms) == 1:
+        return terms[0]
+    stack = _stack_term_axis([t.point for t in terms])
+    val = M._sw_reduce_last(stack)
+    mac = None
+    n_mac = sum(t.mac is not None for t in terms)
+    if n_mac:
+        if n_mac != len(terms):
+            raise ValueError("scale_sum: mixing MAC'd and MAC-less group "
+                             "shares would silently drop SPDZ authentication")
+        mac = M._sw_reduce_last(_stack_term_axis([t.mac for t in terms]))
+    return MpcSWPoint(val, SHARED, mac)
 
 
 def from_public_party_layout(point: SWPoint) -> MpcSWPoint:

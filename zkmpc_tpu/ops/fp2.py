@@ -88,10 +88,18 @@ class Fp2Array:
     def __mul__(self, other):
         # Karatsuba: v0 = a0 b0, v1 = a1 b1;
         # c0 = v0 - 5 v1, c1 = (a0+a1)(b0+b1) - v0 - v1
-        v0 = self.c0 * other.c0
-        v1 = self.c1 * other.c1
+        # The three Fq products run as ONE stacked limb-convolution call:
+        # 1/3 the traced mont-mul constructs (compile size) and a 3x-larger
+        # batch per kernel launch (runtime) vs three separate muls.
+        shp = tuple(np.broadcast_shapes(self.shape, other.shape))
+        a0, a1 = self.c0.broadcast_to(shp), self.c1.broadcast_to(shp)
+        b0, b1 = other.c0.broadcast_to(shp), other.c1.broadcast_to(shp)
+        s = FpArray.stack([a0, a1, a0 + a1], axis=0)
+        t = FpArray.stack([b0, b1, b0 + b1], axis=0)
+        v = s * t
+        v0, v1, v01 = v[0], v[1], v[2]
         c0 = v0 - v1.smul(self._NR_NEG)
-        c1 = (self.c0 + self.c1) * (other.c0 + other.c1) - v0 - v1
+        c1 = v01 - v0 - v1
         return Fp2Array(c0, c1)
 
     def smul(self, k: int):
@@ -102,9 +110,13 @@ class Fp2Array:
 
     def square(self):
         # (a0 + a1 u)^2 = a0^2 - 5 a1^2 + 2 a0 a1 u
-        # complex-style: c0 = (a0 + a1)(a0 - 5 a1) + 4 a0 a1 ... use direct form
-        v0 = self.c0 * self.c1
-        c0 = (self.c0 + self.c1) * (self.c0 - self.c1.smul(5)) + v0.smul(4)
+        # complex-style: c0 = (a0 + a1)(a0 - 5 a1) + 4 a0 a1; the two Fq
+        # products run as ONE stacked limb-convolution call (see __mul__)
+        s = FpArray.stack([self.c0, self.c0 + self.c1], axis=0)
+        t = FpArray.stack([self.c1, self.c0 - self.c1.smul(5)], axis=0)
+        v = s * t
+        v0, w = v[0], v[1]
+        c0 = w + v0.smul(4)
         return Fp2Array(c0, v0.double())
 
     def inv(self):

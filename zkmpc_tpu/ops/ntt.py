@@ -89,6 +89,36 @@ class Domain:
             inv = [pow(wi, j, p) for j in range(half)]
             self._tw_fwd.append(FpArray.from_int(spec, np.asarray(fwd, dtype=object)))
             self._tw_inv.append(FpArray.from_int(spec, np.asarray(inv, dtype=object)))
+        # flat per-stage tables for the SCANNED butterfly network:
+        # stage s, flat index i with pos = i mod m:
+        #   pos <  half: out[i] = x[i]      + w^pos        * x[i+half]
+        #   pos >= half: out[i] = x[i-half] - w^(pos-half) * x[i]
+        if self.log_n > 0:
+            idx_e = np.zeros((self.log_n, n), dtype=np.int32)
+            idx_o = np.zeros((self.log_n, n), dtype=np.int32)
+            lo_mask = np.zeros((self.log_n, n), dtype=bool)
+            twf = np.zeros((self.log_n, n), dtype=object)
+            twi = np.zeros((self.log_n, n), dtype=object)
+            i_arr = np.arange(n)
+            for s in range(self.log_n):
+                m = 1 << (s + 1)
+                half = m // 2
+                pos = i_arr % m
+                lo = pos < half
+                k = np.where(lo, pos, pos - half)
+                idx_e[s] = np.where(lo, i_arr, i_arr - half)
+                idx_o[s] = np.where(lo, i_arr + half, i_arr)
+                lo_mask[s] = lo
+                w = pow(omega, n // m, p)
+                wi_ = pow(omega_inv, n // m, p)
+                wk = {j: pow(w, int(j), p) for j in np.unique(k)}
+                wik = {j: pow(wi_, int(j), p) for j in np.unique(k)}
+                twf[s] = np.asarray([wk[int(j)] for j in k], dtype=object)
+                twi[s] = np.asarray([wik[int(j)] for j in k], dtype=object)
+            self._flat_idx_e, self._flat_idx_o = idx_e, idx_o
+            self._flat_lo = lo_mask
+            self._flat_tw_fwd = FpArray.from_int(spec, twf)
+            self._flat_tw_inv = FpArray.from_int(spec, twi)
         # coset scaling vectors: g^i and g^-i / plain n^-1
         self._coset_pows = FpArray.from_int(
             spec, np.asarray([pow(g, i, p) for i in range(n)], dtype=object))
@@ -104,22 +134,44 @@ class Domain:
     # ---------------------------------------------------------------- kernels
 
     def _butterflies(self, x: FpArray, twiddles) -> FpArray:
-        """Iterative DIT NTT given bit-reversed input. x: [..., n] field elems."""
+        """Iterative DIT NTT given bit-reversed input. x: [..., n] field elems.
+
+        The log2(n) stages run inside ONE `lax.scan` over precomputed flat
+        per-stage tables (gather indices + full-width twiddles), so the
+        traced graph carries a single butterfly body instead of log2(n)
+        inlined copies — the Groth16 witness map runs 7 NTTs, which were
+        ~17k jaxpr eqns of prove-graph compile mass in the unrolled form."""
+        import jax
+
         n = self.n
-        batch = x.shape[:-1]
-        for s in range(self.log_n):
-            m = 1 << (s + 1)
-            half = m // 2
-            y = x.reshape(batch + (n // m, m))
-            even = FpArray(y.limbs[..., :half, :], y.spec, y.bound)
-            odd = FpArray(y.limbs[..., half:, :], y.spec, y.bound)
-            t = odd * twiddles[s]
-            hi = even + t
-            lo = even - t
-            x = FpArray(jnp.concatenate([hi.limbs, lo.limbs], axis=-2),
-                        y.spec, max(hi.bound, lo.bound))
-            x = x.reshape(batch + (n,))
-        return x
+        if self.log_n == 0:
+            return x
+        fwd = twiddles is self._tw_fwd
+        tw = self._flat_tw_fwd if fwd else self._flat_tw_inv
+        spec = x.spec
+
+        def norm2(f: FpArray) -> FpArray:
+            f = f.tighten()
+            return f if f.bound == 2 else FpArray(f.limbs, spec, 2)
+
+        lo_mask = self._flat_lo[..., None]          # [L, n, 1]
+
+        def body(carry, stage):
+            idx_e, idx_o, lo, tw_l = stage
+            xe = jnp.take(carry.limbs, idx_e, axis=-2)
+            xo = jnp.take(carry.limbs, idx_o, axis=-2)
+            e = FpArray(xe, spec, carry.bound)
+            t = FpArray(xo, spec, carry.bound) * FpArray(tw_l, spec, 1)
+            hi = e + t
+            lo_v = e - t
+            out = FpArray(jnp.where(lo, hi.limbs, lo_v.limbs), spec,
+                          max(hi.bound, lo_v.bound))
+            return norm2(out), None
+
+        stages = (jnp.asarray(self._flat_idx_e), jnp.asarray(self._flat_idx_o),
+                  lo_mask, jnp.asarray(tw.limbs))
+        out, _ = jax.lax.scan(body, norm2(x), stages)
+        return out
 
     def fft(self, coeffs: FpArray) -> FpArray:
         """coeffs [..., n] -> evaluations f(omega^i), i in 0..n-1."""

@@ -318,14 +318,14 @@ def prove(dpk: DeviceProvingKey, cs: ConstraintSystem, key,
     b1_pt = beta1 + g1_msms[1]
     b2_pt = beta2 + mpc_msm(ext(dpk.b_g2_query, dpk.delta_g2), exts(z, s))
 
-    c_pt = g1_msms[2]
-    if dpk.l_query is not None:
-        c_pt = c_pt + g1_msms[3]
     # a_pt*s and b1_pt*r fuse into one batched group-Beaver scale
-    # (-delta1*rs already rode the h MSM above)
-    from ..mpc.group import scale_many
-    sc_as, sc_b1r = scale_many([(a_pt, s), (b1_pt, r)])
-    c_pt = c_pt + sc_as + sc_b1r
+    # (-delta1*rs already rode the h MSM above), and C's terms
+    # (h-msm, l-msm, s*A, r*B1) fold in ONE masked log fold (scale_sum)
+    from ..mpc.group import scale_sum
+    extras = [g1_msms[2]]
+    if dpk.l_query is not None:
+        extras.append(g1_msms[3])
+    c_pt = scale_sum([(a_pt, s), (b1_pt, r)], extra_shared=extras)
 
     a_open = a_pt.reveal()
     b_open = b2_pt.reveal()
