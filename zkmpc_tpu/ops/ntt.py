@@ -146,6 +146,11 @@ class Domain:
         n = self.n
         if self.log_n == 0:
             return x
+        if self.log_n < 6:
+            # small domains: the unrolled form is tiny anyway, and XLA:CPU's
+            # compiler has been seen to segfault on the scanned body at small
+            # shapes (observed in the SHE ring tests at n=8)
+            return self._butterflies_unrolled(x, twiddles)
         fwd = twiddles is self._tw_fwd
         tw = self._flat_tw_fwd if fwd else self._flat_tw_inv
         spec = x.spec
@@ -172,6 +177,23 @@ class Domain:
                   lo_mask, jnp.asarray(tw.limbs))
         out, _ = jax.lax.scan(body, norm2(x), stages)
         return out
+
+    def _butterflies_unrolled(self, x: FpArray, twiddles) -> FpArray:
+        n = self.n
+        batch = x.shape[:-1]
+        for s in range(self.log_n):
+            m = 1 << (s + 1)
+            half = m // 2
+            y = x.reshape(batch + (n // m, m))
+            even = FpArray(y.limbs[..., :half, :], y.spec, y.bound)
+            odd = FpArray(y.limbs[..., half:, :], y.spec, y.bound)
+            t = odd * twiddles[s]
+            hi = even + t
+            lo = even - t
+            x = FpArray(jnp.concatenate([hi.limbs, lo.limbs], axis=-2),
+                        y.spec, max(hi.bound, lo.bound))
+            x = x.reshape(batch + (n,))
+        return x
 
     def fft(self, coeffs: FpArray) -> FpArray:
         """coeffs [..., n] -> evaluations f(omega^i), i in 0..n-1."""

@@ -108,10 +108,18 @@ def reshare(ctx: DealerContext, e_m: bgv.Ciphertext, key,
 
 def angle(ctx: DealerContext, shares: FpArray, e_m: bgv.Ciphertext, key):
     """SPDZ <m>: (shares [P, n], mac shares [P, n]) with mac = alpha * m
-    (`preprocessing.rs:540-611`)."""
-    e_gamma = ctx.e_alpha.mul(e_m)
-    mac_shares, _ = reshare(ctx, e_gamma, jax.random.fold_in(key, 1))
-    return shares, mac_shares
+    (`preprocessing.rs:540-611`).  The ciphertext-mult + reshare pipeline
+    runs as one jitted graph per dealer (eager TPU dispatch is ~ms/op)."""
+    def impl(c0, c1, c2, key):
+        e = bgv.Ciphertext(_n2q(FpArray(c0, MNT4Q, 2)),
+                           FpArray(c1, MNT4Q, 2), FpArray(c2, MNT4Q, 2))
+        e_gamma = ctx.e_alpha.mul(e)
+        mac_shares, _ = reshare(ctx, e_gamma, jax.random.fold_in(key, 1))
+        return _n2q(mac_shares).limbs
+
+    mac_l = _ctx_jit(ctx, "angle", impl)(
+        _n2q(e_m.c0).limbs, _n2q(e_m.c1).limbs, _n2q(e_m.c2).limbs, key)
+    return shares, FpArray(mac_l, FR, 2)
 
 
 def _diag_encrypt_with_popk(ctx: DealerContext, vals: FpArray, key):
@@ -121,10 +129,25 @@ def _diag_encrypt_with_popk(ctx: DealerContext, vals: FpArray, key):
     diag = FpArray(jnp.broadcast_to(vals.limbs[:, None, :],
                                     (P_, n, vals.limbs.shape[-1])),
                    FR, vals.bound)
+
+    def enc_impl(vals_l, key):
+        d = FpArray(jnp.broadcast_to(vals_l[:, None, :],
+                                     (P_, n, vals_l.shape[-1])), FR, 2)
+        r = bgv.sample_enc_randomness(ctx.params, key, (P_,))
+        ct = bgv.encrypt_slots(ctx.pk, ctx.params, d, r)
+        return (_n2q(ct.c0).limbs, _n2q(ct.c1).limbs,
+                _n2q(r.v).limbs, _n2q(r.e0).limbs, _n2q(r.e1).limbs)
+
+    c0s, c1s, rv, re0, re1 = _ctx_jit(ctx, "diag_enc", enc_impl)(
+        _n2q(vals).limbs, key)
     cts = []
     for i in range(P_):
-        r = bgv.sample_enc_randomness(ctx.params, jax.random.fold_in(key, i))
-        ct = bgv.encrypt_slots(ctx.pk, ctx.params, diag[i], r)
+        ct = bgv.Ciphertext(FpArray(c0s[i], MNT4Q, 2),
+                            FpArray(c1s[i], MNT4Q, 2),
+                            FpArray.zeros(MNT4Q, (n,)))
+        r = bgv.EncRandomness(FpArray(rv[i], MNT4Q, 2),
+                              FpArray(re0[i], MNT4Q, 2),
+                              FpArray(re1[i], MNT4Q, 2))
         proof = zkpopk_prove(ctx, diag[i], r, ct,
                              jax.random.fold_in(key, 100 + i))
         assert zkpopk_verify(ctx, ct, proof), "ZKPoPK rejected"
@@ -138,12 +161,20 @@ def bracket(ctx: DealerContext, shares: FpArray, e_m: bgv.Ciphertext, key):
     every key-owner j (`preprocessing.rs:613-721` BracketShares: each party
     holds its share plus one MAC share under every other party's key)."""
     assert ctx.e_beta is not None, "initialize() first"
-    macs = []
-    for j in range(ctx.n_parties):
-        e_gamma_j = ctx.e_beta[j].mul(e_m)
-        macs_j, _ = reshare(ctx, e_gamma_j, jax.random.fold_in(key, j))
-        macs.append(macs_j)
-    return shares, FpArray.stack(macs, axis=0)
+
+    def impl(c0, c1, c2, key):
+        e = bgv.Ciphertext(FpArray(c0, MNT4Q, 2), FpArray(c1, MNT4Q, 2),
+                           FpArray(c2, MNT4Q, 2))
+        macs = []
+        for j in range(ctx.n_parties):
+            e_gamma_j = ctx.e_beta[j].mul(e)
+            macs_j, _ = reshare(ctx, e_gamma_j, jax.random.fold_in(key, j))
+            macs.append(_n2q(macs_j))
+        return FpArray.stack(macs, axis=0).limbs
+
+    macs_l = _ctx_jit(ctx, "bracket", impl)(
+        _n2q(e_m.c0).limbs, _n2q(e_m.c1).limbs, _n2q(e_m.c2).limbs, key)
+    return shares, FpArray(macs_l, FR, 2)
 
 
 def initialize(ctx: DealerContext, key):
@@ -257,6 +288,23 @@ def _hash_fs(ctx, ct: bgv.Ciphertext, comms) -> bytes:
     return h.digest()
 
 
+def _ctx_jit(ctx: DealerContext, name: str, fn):
+    """Per-dealer cache of jitted protocol phases (a fresh jax.jit wrapper
+    per call would recompile every time)."""
+    cache = getattr(ctx, "_jits", None)
+    if cache is None:
+        cache = {}
+        ctx._jits = cache
+    if name not in cache:
+        cache[name] = jax.jit(fn)
+    return cache[name]
+
+
+def _n2q(f: FpArray) -> FpArray:
+    f = f.tighten()
+    return f if f.bound == 2 else FpArray(f.limbs, f.spec, 2)
+
+
 def zkpopk_prove(ctx: DealerContext, slots: FpArray, r: bgv.EncRandomness,
                  ct: bgv.Ciphertext, key) -> ZkPoPK:
     """Prove knowledge of (m, r) for ct = Enc(m, r).
@@ -264,49 +312,89 @@ def zkpopk_prove(ctx: DealerContext, slots: FpArray, r: bgv.EncRandomness,
     The response z lives in the *lifted* R_q message domain, where encryption
     is exactly linear (the centered lift itself is not additive mod p — the
     reference likewise runs the protocol over Encodedtext integer vectors,
-    `preprocessing.rs:106-159`)."""
-    from ..mpc.rand import uniform_fp
+    `preprocessing.rs:106-159`).
+
+    Runs as two JITTED phases (commitments; responses) around the host-side
+    Fiat-Shamir hash — the fully-eager form paid one TPU dispatch/compile
+    per array op and took minutes per proof."""
     V = _SEC
     n = ctx.params.n
-    m_rq = ring.lift_centered_p_to_q(bgv.encode(slots))
-    # masks y_k (uniform plaintexts, lifted) and mask randomness s_k
-    y = uniform_fp(jax.random.fold_in(key, 1), FR, (V, n))
-    comms = []
-    ss = []
-    y_rqs = []
-    for k in range(V):
-        s = bgv.sample_enc_randomness(ctx.params, jax.random.fold_in(key, 2 + k))
-        ss.append(s)
-        y_rq = ring.lift_centered_p_to_q(bgv.encode(y[k]))
-        y_rqs.append(y_rq)
-        comms.append(bgv.encrypt_rq(ctx.pk, y_rq, s))
+
+    def commit(slots_l, key):
+        from ..mpc.rand import uniform_fp
+        m_rq = ring.lift_centered_p_to_q(
+            bgv.encode(FpArray(slots_l, FR, 2)))
+        y = uniform_fp(jax.random.fold_in(key, 1), FR, (V, n))
+        y_rq = ring.lift_centered_p_to_q(bgv.encode(y))
+        s = bgv.sample_enc_randomness(ctx.params,
+                                      jax.random.fold_in(key, 2), (V,))
+        cm = bgv.encrypt_rq(ctx.pk, y_rq, s)
+        # every returned tensor is tightened to bound 2: the caller rewraps
+        # the raw limbs as FpArray(..., bound=2), and an under-labeled lazy
+        # representation (encrypt outputs reach bound ~6) silently breaks
+        # canonicalization in the verifier's equality checks
+        return (_n2q(m_rq).limbs, _n2q(y_rq).limbs,
+                _n2q(cm.c0).limbs, _n2q(cm.c1).limbs,
+                _n2q(s.v).limbs, _n2q(s.e0).limbs, _n2q(s.e1).limbs)
+
+    m_l, y_l, c0_l, c1_l, sv, se0, se1 = _ctx_jit(ctx, "popk_commit", commit)(
+        _n2q(slots).limbs, key)
+    comms = [bgv.Ciphertext(FpArray(c0_l[k], MNT4Q, 2),
+                            FpArray(c1_l[k], MNT4Q, 2),
+                            FpArray.zeros(MNT4Q, (n,)))
+             for k in range(V)]
     e = _hash_fs(ctx, ct, comms)
     ebits = [(e[k // 8] >> (k % 8)) & 1 for k in range(V)]
-    # z_k = y_k + e_k * m (in R_q) ; t_k = s_k + e_k * r
-    z = []
-    ts = []
-    for k in range(V):
-        if ebits[k]:
-            z.append(y_rqs[k] + m_rq)
-            ts.append(bgv.EncRandomness(ss[k].v + r.v, ss[k].e0 + r.e0,
-                                        ss[k].e1 + r.e1))
-        else:
-            z.append(y_rqs[k])
-            ts.append(ss[k])
-    zarr = FpArray.stack(z, axis=0)
+    eb = jnp.asarray(ebits, jnp.uint32)
+
+    def respond(m_l, y_l, sv, se0, se1, rv, re0, re1, eb):
+        def fq(l):
+            return FpArray(l, MNT4Q, 2)
+        m, y = fq(m_l), fq(y_l)
+        zsum = _n2q(y + m)
+        z_l = jnp.where(eb[:, None, None] > 0, zsum.limbs, y.limbs)
+        outs = [z_l]
+        for s_l, r_l in ((sv, rv), (se0, re0), (se1, re1)):
+            s_, r_ = fq(s_l), fq(r_l)
+            t_ = _n2q(s_ + r_)
+            outs.append(jnp.where(eb[:, None, None] > 0, t_.limbs,
+                                  _n2q(s_).limbs))
+        return tuple(outs)
+
+    z_l, tv, te0, te1 = _ctx_jit(ctx, "popk_respond", respond)(
+        m_l, y_l, sv, se0, se1,
+        _n2q(r.v).limbs, _n2q(r.e0).limbs, _n2q(r.e1).limbs, eb)
+    zarr = FpArray(z_l, MNT4Q, 2)
+    ts = [bgv.EncRandomness(FpArray(tv[k], MNT4Q, 2),
+                            FpArray(te0[k], MNT4Q, 2),
+                            FpArray(te1[k], MNT4Q, 2)) for k in range(V)]
     return ZkPoPK(comms, e, zarr, ts)
 
 
-def _inf_norm_centered(x: FpArray) -> int:
-    """Host: max |centered lift| over all coefficients of an R_q tensor."""
+def _limbs_gt_const(canon, c: int, spec) -> "jnp.ndarray":
+    """Elementwise (value > c) for canonical little-endian limb tensors,
+    fully on device (lexicographic from the most-significant limb)."""
+    from ..ops.limbs import int_to_limbs
+    cl = jnp.asarray(int_to_limbs(c, spec.nlimbs))
+    gt = canon > cl
+    eq = canon == cl
+    # value > c iff exists j with limb_j > c_j and limbs equal above j
+    eq_above = jnp.flip(jnp.cumprod(
+        jnp.flip(eq, axis=-1).astype(jnp.uint32), axis=-1), axis=-1)
+    eq_above = jnp.concatenate(
+        [eq_above[..., 1:], jnp.ones_like(eq_above[..., :1])], axis=-1)
+    return jnp.any(gt & (eq_above > 0), axis=-1)
+
+
+def _inf_norm_exceeds(x: FpArray, thr: int) -> bool:
+    """max |centered lift| > thr, evaluated on device in one pass (the old
+    host loop converted every coefficient to a Python bigint — minutes of
+    wall-clock at ring degree 1024)."""
     q = x.spec.p
-    vals = np.asarray(x.to_ints()).reshape(-1)
-    best = 0
-    for v in vals:
-        v = int(v)
-        c = v if v <= q // 2 else v - q
-        best = max(best, abs(c))
-    return best
+    limbs = x.int_limbs()          # canonical INTEGER limbs (de-Montgomery)
+    viol = _limbs_gt_const(limbs, thr, x.spec) & \
+        ~_limbs_gt_const(limbs, q - thr - 1, x.spec)
+    return bool(np.asarray(jax.device_get(jnp.any(viol))))
 
 
 def zkpopk_verify(ctx: DealerContext, ct: bgv.Ciphertext, proof: ZkPoPK) -> bool:
@@ -322,22 +410,38 @@ def zkpopk_verify(ctx: DealerContext, ct: bgv.Ciphertext, proof: ZkPoPK) -> bool
     # honest t = s + e*r with gaussian coeffs (sigma = 3.2, tail < 10 sigma)
     tau = (FR.p - 1) // 2
     rho = 64          # 2 x 10-sigma tail bound per summand
-    if _inf_norm_centered(proof.z) > 2 * tau:
+    if _inf_norm_exceeds(proof.z, 2 * tau):
         return False
-    for t in proof.t:
-        for comp in (t.v, t.e0, t.e1):
-            if _inf_norm_centered(comp) > 2 * rho:
-                return False
+    t_all = FpArray.stack(
+        [comp for t in proof.t for comp in (t.v, t.e0, t.e1)], axis=0)
+    if _inf_norm_exceeds(t_all, 2 * rho):
+        return False
     ebits = [(e[k // 8] >> (k % 8)) & 1 for k in range(V)]
-    for k in range(V):
-        lhs = bgv.encrypt_rq(ctx.pk, proof.z[k], proof.t[k])
-        rhs = proof.commitments[k]
-        if ebits[k]:
-            rhs = rhs + ct
-        for a, b in ((lhs.c0, rhs.c0), (lhs.c1, rhs.c1)):
-            if not bool(np.asarray(jax.device_get(a.equals(b))).all()):
-                return False
-    return True
+    eb = jnp.asarray(ebits, jnp.uint32)
+
+    def reenc_check(z_l, tv, te0, te1, c0s, c1s, ct0, ct1, eb):
+        def fq(l):
+            return FpArray(l, MNT4Q, 2)
+        lhs = bgv.encrypt_rq(
+            ctx.pk, fq(z_l),
+            bgv.EncRandomness(fq(tv), fq(te0), fq(te1)))
+        ok = jnp.bool_(True)
+        for lc, cs, c in ((lhs.c0, c0s, ct0), (lhs.c1, c1s, ct1)):
+            plus = _n2q(fq(cs) + fq(c))
+            rhs_l = jnp.where(eb[:, None, None] > 0, plus.limbs, fq(cs).limbs)
+            ok = ok & jnp.all(lc.equals(FpArray(rhs_l, MNT4Q, 2)))
+        return ok
+
+    z_l = _n2q(proof.z).limbs
+    tv = jnp.stack([_n2q(t.v).limbs for t in proof.t])
+    te0 = jnp.stack([_n2q(t.e0).limbs for t in proof.t])
+    te1 = jnp.stack([_n2q(t.e1).limbs for t in proof.t])
+    c0s = jnp.stack([_n2q(c.c0).limbs for c in proof.commitments])
+    c1s = jnp.stack([_n2q(c.c1).limbs for c in proof.commitments])
+    ok = _ctx_jit(ctx, "popk_reenc", reenc_check)(
+        z_l, tv, te0, te1, c0s, c1s,
+        _n2q(ct.c0).limbs, _n2q(ct.c1).limbs, eb)
+    return bool(np.asarray(jax.device_get(ok)))
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,15 @@ def host_fingerprint() -> str:
     except OSError:
         import platform
         h.update(platform.processor().encode())
+    # two VMs can show IDENTICAL cpuinfo yet LLVM detects different target
+    # features (+prefer-no-scatter etc.), and loading the other VM's AOT
+    # artifact SIGILLs/segfaults — key the cache per machine instance
+    for mid in ("/etc/machine-id", "/proc/sys/kernel/random/boot_id"):
+        try:
+            with open(mid) as f:
+                h.update(f.read().encode())
+        except OSError:
+            continue
     return h.hexdigest()[:12]
 
 
@@ -40,8 +49,20 @@ def cache_dir() -> str:
     return os.path.expanduser(f"~/.cache/jax_zkmpc_{host_fingerprint()}")
 
 
-def configure(jax) -> str:
-    """Point jax's persistent compilation cache at the host-keyed dir."""
+def configure(jax) -> str | None:
+    """Point jax's persistent compilation cache at the host-keyed dir.
+
+    TPU only: XLA:CPU's AOT deserializer segfaults loading its own
+    artifacts (observed crashing in `compilation_cache.get_executable_and_
+    time` on an entry written seconds earlier by the same process), so on
+    CPU the persistent cache is DISABLED — the scan-formulated graphs
+    compile in seconds there anyway."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend != "tpu":
+        return None
     d = cache_dir()
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
