@@ -61,6 +61,93 @@ def make_dealer(params: bgv.SheParams, n_parties: int, key) -> DealerContext:
     return DealerContext(params, n_parties, sk, pk)
 
 
+# ---------------------------------------------------------------- ctx pickle
+# ``initialize`` is the one host-bound phase (ZKPoPK Fiat-Shamir hashing runs
+# eagerly around the jitted commit/respond kernels; ~10 min on the tunneled
+# TPU), while everything downstream (pair/triple) jits.  The initialized
+# dealer state is pure data, so persist it — the file-handoff analogue of the
+# reference writing preprocessing outputs to ``outputs/<i>/online_setup.json``
+# (`src/serialize.rs:101-147`), applied to the dealer instead of the parties.
+
+_SPEC_BY_NAME = {FR.name: FR, MNT4Q.name: MNT4Q}
+
+
+def _enc_node(x):
+    if x is None:
+        return None
+    if isinstance(x, FpArray):
+        return ("fp", x.spec.name, int(x.bound),
+                np.asarray(jax.device_get(x.limbs)))
+    if isinstance(x, bgv.Ciphertext):
+        return ("ct", _enc_node(x.c0), _enc_node(x.c1), _enc_node(x.c2))
+    if isinstance(x, (list, tuple)):
+        return ("seq", isinstance(x, tuple), [_enc_node(v) for v in x])
+    raise TypeError(f"unpicklable dealer field: {type(x)}")
+
+
+def _dec_node(d):
+    if d is None:
+        return None
+    tag = d[0]
+    if tag == "fp":
+        _, name, bound, limbs = d
+        return FpArray(jnp.asarray(limbs), _SPEC_BY_NAME[name], bound)
+    if tag == "ct":
+        return bgv.Ciphertext(_dec_node(d[1]), _dec_node(d[2]), _dec_node(d[3]))
+    _, is_tuple, items = d
+    seq = [_dec_node(v) for v in items]
+    return tuple(seq) if is_tuple else seq
+
+
+def dealer_to_host(ctx: DealerContext) -> dict:
+    return {
+        "n": ctx.params.n, "sigma": ctx.params.sigma,
+        "n_parties": ctx.n_parties,
+        "sk": _enc_node(ctx.sk.s),
+        "pk_a": _enc_node(ctx.pk.a), "pk_b": _enc_node(ctx.pk.b),
+        "alpha_shares": _enc_node(ctx.alpha_shares),
+        "e_alpha": _enc_node(ctx.e_alpha),
+        "beta": _enc_node(ctx.beta),
+        "e_beta": _enc_node(ctx.e_beta),
+        "alpha_bracket": _enc_node(ctx.alpha_bracket),
+    }
+
+
+def dealer_from_host(doc: dict) -> DealerContext:
+    params = bgv.SheParams(doc["n"], doc["sigma"])
+    ctx = DealerContext(params, doc["n_parties"],
+                        bgv.SecretKey(_dec_node(doc["sk"])),
+                        bgv.PublicKey(_dec_node(doc["pk_a"]),
+                                      _dec_node(doc["pk_b"])))
+    ctx.alpha_shares = _dec_node(doc["alpha_shares"])
+    ctx.e_alpha = _dec_node(doc["e_alpha"])
+    ctx.beta = _dec_node(doc["beta"])
+    ctx.e_beta = _dec_node(doc["e_beta"])
+    ctx.alpha_bracket = _dec_node(doc["alpha_bracket"])
+    return ctx
+
+
+def cached_initialized_dealer(n_slots: int, n_parties: int, cache_dir: str,
+                              seed: int = 100) -> DealerContext:
+    """Load an initialized dealer from ``cache_dir`` or run
+    ``make_dealer`` + ``initialize`` and persist the result."""
+    import os
+    import pickle
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir,
+                        f"dealer_{n_slots}s_{n_parties}p_{seed}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return dealer_from_host(pickle.load(f))
+    params = bgv.SheParams(n_slots)
+    ctx = make_dealer(params, n_parties, jax.random.PRNGKey(seed))
+    initialize(ctx, jax.random.PRNGKey(seed + 1))
+    with open(path, "wb") as f:
+        pickle.dump(dealer_to_host(ctx), f)
+    return ctx
+
+
 def _sum_ct(cts):
     acc = cts[0]
     for c in cts[1:]:
