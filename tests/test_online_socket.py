@@ -30,11 +30,28 @@ def test_online_socket_prove(tmp_path):
     rng = random.Random(77)
     outdir = tmp_path / "outputs"
     # per-party preprocessing handoff: 2 input slots of additive mask shares
+    # in BOTH representations (<r> and [r], `serialize.rs:101-147`): the
+    # bracket MAC shares let the mask's owner verify the [.]-checked opening
+    # during the input protocol (cli/online.py)
+    n_p, n_slots = 3, 2
+    r_sh = [[rng.randrange(p) for _ in range(n_slots)] for _ in range(n_p)]
+    r_open = [sum(r_sh[i][s] for i in range(n_p)) % p for s in range(n_slots)]
+    betas = [rng.randrange(p) for _ in range(n_p)]
+    # macs[j][i][s]: party i's MAC share under key j; sums to beta_j * r
+    macs = [[[rng.randrange(p) for _ in range(n_slots)]
+             for _ in range(n_p - 1)] for _ in range(n_p)]
+    for j in range(n_p):
+        last = [(betas[j] * r_open[s] - sum(macs[j][i][s]
+                                            for i in range(n_p - 1))) % p
+                for s in range(n_slots)]
+        macs[j].append(last)
     for i in range(3):
-        rs = [rng.randrange(p) for _ in range(2)]
         SER.write_online_setup(
             str(outdir / str(i) / "online_setup.json"), i,
-            [SER.field_to_hex(v, FR) for v in rs])
+            [SER.field_to_hex(v, FR) for v in r_sh[i]],
+            r_bracket_hex=[[SER.field_to_hex(macs[j][i][s], FR)
+                            for s in range(n_slots)] for j in range(n_p)],
+            beta_hex=SER.field_to_hex(betas[i], FR))
     inputs = tmp_path / "inputs.json"
     inputs.write_text(json.dumps({"x": 3, "y": 5}))
 

@@ -143,3 +143,37 @@ def test_mixed_mac_group_add_rejected(dealer):
         bare = MpcSWPoint(Q.point, SHARED, None)        # MAC-less
         with pytest.raises(ValueError, match="MAC"):
             _ = Q + bare
+
+
+def test_spdz_marlin_prove_with_she_triples(dealer):
+    """Full collaborative MARLIN prove under the SPDZ backend with every
+    Beaver triple and random mask drawn from real SHE preprocessing
+    (VERDICT r4 gap #3: Marlin x SPDZ was untested).  The MAC plumbing maps
+    alpha-MAC tensors through the NTTs/commits (`kzg.py`/`marlin.py`
+    `_apply`); both MAC queues must drain NON-vacuously — every opened
+    round value is MAC-checked, the reference contract of
+    `share/spdz.rs:125-196`."""
+    from test_groth16 import build_mul_circuit
+
+    from zkmpc_tpu.snark import marlin
+
+    c = spdz_ctx(dealer, 15)
+    with mpc_scope(c):
+        cs = ConstraintSystem(FR)
+        a = king_share(fp(7), jax.random.PRNGKey(71))
+        b = king_share(fp(6), jax.random.PRNGKey(72))
+        c_pub = MpcFp.const(FR, 42)
+        build_mul_circuit(cs, a, b, c_pub)
+        assert cs.is_satisfied_ints()
+        index = marlin.setup_and_index(cs, seed=19)
+        proof = marlin.prove(index, cs, jax.random.PRNGKey(73))
+        instance = cs.instance_ints()
+        assert c.mac_residue_count > 0, "field MAC check is vacuous"
+        assert c.group_mac_residue_count > 0, "group MAC check is vacuous"
+        c.assert_field_macs(require_nonempty=True)
+        c.assert_group_macs(require_nonempty=True)
+    assert marlin.verify(index, instance, proof)
+    # negative: a proof for a WRONG instance must not verify
+    bad = list(instance)
+    bad[1] = (bad[1] + 1) % P
+    assert not marlin.verify(index, bad, proof)

@@ -59,7 +59,7 @@ def run(zksnark: str, inputs_path: str, n_parties: int = 3,
     params = bgv.SheParams(slots)
     ctx = PP.make_dealer(params, n_parties, kpre)
     PP.initialize(ctx, jax.random.fold_in(kpre, 1))
-    (r_shares, r_macs), _r_bracket = PP.pair(ctx, jax.random.fold_in(kpre, 2))
+    (r_shares, r_macs), r_bracket = PP.pair(ctx, jax.random.fold_in(kpre, 2))
     (a, ma), (b, mb), (c, mc) = PP.triple(ctx, jax.random.fold_in(kpre, 3))
     # sanity oracle: a*b == c slot-wise (the reference's triple test)
     p = FR.p
@@ -71,11 +71,18 @@ def run(zksnark: str, inputs_path: str, n_parties: int = 3,
     print(f"preprocessing: {time.time() - t0:.3f}s "
           f"({slots} slots x {n_parties} parties)")
 
-    # ---- write per-party online setup files (`serialize.rs:101-147`)
+    # ---- write per-party online setup files (`serialize.rs:101-147`):
+    # BOTH representations — <r> (share + alpha-mac share) and [r]
+    # (per-key bracket MAC shares + the party's own key beta_i)
+    _, br_macs = r_bracket          # macs: [P_keys, P_holders, n]
     for i in range(n_parties):
         SER.write_online_setup(
             os.path.join(outdir, str(i), "online_setup.json"), i,
-            SER.fparray_to_hex(r_shares[i]), SER.fparray_to_hex(r_macs[i]))
+            SER.fparray_to_hex(r_shares[i]), SER.fparray_to_hex(r_macs[i]),
+            r_bracket_hex=[SER.fparray_to_hex(br_macs[j, i])
+                           for j in range(n_parties)],
+            beta_hex=SER.field_to_hex(
+                int(np.asarray(ctx.beta.to_ints()).reshape(-1)[i]), FR))
 
     # ---- online: committed-input circuit proof (`main.rs:140-237`)
     pp = pedersen.PedersenParams.sample(seed)
@@ -100,10 +107,21 @@ def run(zksnark: str, inputs_path: str, n_parties: int = 3,
                                   jax.random.fold_in(kprove, 2))
             pints = groth16.proof_to_ints(proof)
             instance = cs.instance_ints()
-            ok = groth16.verify(pk.vk, instance, pints)
+            # publish the proof in the ark `Proof::serialize` wire format
+            # (192-byte compressed blob, `compat/ark.py`) and verify the
+            # PARSED blob — the round-trip is the interop contract with
+            # the reference's serialized proofs
+            from ..compat import ark as ARK
+            blob = ARK.groth16_proof_from_ints(pints)
+            os.makedirs(outdir, exist_ok=True)
+            with open(os.path.join(outdir, "proof.bin"), "wb") as f:
+                f.write(blob)
+            with open(os.path.join(outdir, "proof.bin"), "rb") as f:
+                parsed = ARK.groth16_proof_from_bytes(f.read())
+            ok = groth16.verify(pk.vk, instance, parsed)
             bad = list(instance)
             bad[1] = (bad[1] + 1) % p
-            neg = not groth16.verify(pk.vk, bad, pints)
+            neg = not groth16.verify(pk.vk, bad, parsed)
         elif zksnark == "marlin":
             index = marlin.setup_and_index(cs, seed=seed + 1)
             proof = marlin.prove(index, cs, jax.random.fold_in(kprove, 2))

@@ -59,14 +59,18 @@ def run(inputs_path: str, outdir: str = "outputs", n_parties: int = 3,
     # every party, so it loads all N files, exactly like the reference's
     # MpcMultiNet simulation.
     if party_id is None:
-        r_rows = []
+        r_rows, br_rows, betas = [], [], []
         for i in range(n_parties):
-            _, r, _ = SER.read_online_setup(
-                os.path.join(outdir, str(i), "online_setup.json"))
+            fp = os.path.join(outdir, str(i), "online_setup.json")
+            _, r, _ = SER.read_online_setup(fp)
+            beta_i, br_i = SER.read_online_setup_bracket(fp)
             r_rows.append(r)
+            br_rows.append(br_i)
+            betas.append(beta_i)
     else:
-        _, my_r, _ = SER.read_online_setup(
-            os.path.join(outdir, str(party_id), "online_setup.json"))
+        fp = os.path.join(outdir, str(party_id), "online_setup.json")
+        _, my_r, _ = SER.read_online_setup(fp)
+        my_beta, my_br = SER.read_online_setup_bracket(fp)
 
     if party_id is None:
         transport = StackedTransport(n_parties)
@@ -86,29 +90,48 @@ def run(inputs_path: str, outdir: str = "outputs", n_parties: int = 3,
         # eps = x - r_j, and party i's share of x is r_i[j] (+eps for w).
         # No party ever reads another party's r-file, and r_j stays known
         # only to the owner.
+        # [r] bracket-checked opening (`serialize.rs:101-147` dual
+        # representation, SPDZ [.]-open): when the mask r_j opens TO the
+        # owner w, every party also sends its bracket-MAC share under w's
+        # key; w checks sum_i gamma_w(r)_i == beta_w * r.  A corrupted
+        # r-share (or mac share) now fails loudly at input time.
         def input_share_with_r(x_int, slot, owner):
             if transport.kind == "stacked":
                 r_open = sum(r_rows[i][slot] for i in range(n_parties)) % p
+                if br_rows[owner] is not None:
+                    mac_sum = sum(br_rows[i][owner][slot]
+                                  for i in range(n_parties)) % p
+                    assert mac_sum == betas[owner] * r_open % p, \
+                        "bracket MAC check failed on the opened input mask"
                 eps = (x_int - r_open) % p
                 rows = [(r_rows[i][slot] + (eps if i == owner else 0)) % p
                         for i in range(n_parties)]
                 sh = FpArray.from_int(FR, np.asarray(rows, dtype=object))
                 return MpcFp(sh, SHARED)
             me = transport.net.party_id
+            have_bracket = my_br is not None
             if me == owner:
                 r_open = my_r[slot]
+                mac_sum = my_br[owner][slot] if have_bracket else 0
                 for i in range(n_parties):
                     if i != me:
-                        r_open += int.from_bytes(
-                            transport.net.recv_bytes(i, chan=2), "little")
+                        blob = transport.net.recv_bytes(i, chan=2)
+                        r_open += int.from_bytes(blob[:NB], "little")
+                        if have_bracket:
+                            mac_sum += int.from_bytes(blob[NB:], "little")
+                if have_bracket:
+                    assert mac_sum % p == my_beta * (r_open % p) % p, \
+                        "bracket MAC check failed on the opened input mask"
                 eps = (x_int - r_open) % p
                 for i in range(n_parties):
                     if i != me:
                         transport.net.send_bytes(
                             i, eps.to_bytes(NB, "little"), chan=2)
             else:
-                transport.net.send_bytes(
-                    owner, (my_r[slot] % p).to_bytes(NB, "little"), chan=2)
+                blob = (my_r[slot] % p).to_bytes(NB, "little")
+                if have_bracket:
+                    blob += (my_br[owner][slot] % p).to_bytes(NB, "little")
+                transport.net.send_bytes(owner, blob, chan=2)
                 eps = int.from_bytes(
                     transport.net.recv_bytes(owner, chan=2), "little")
             mine = (my_r[slot] + (eps if me == owner else 0)) % p

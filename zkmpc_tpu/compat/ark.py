@@ -50,6 +50,17 @@ def test_rng() -> ChaChaRng:
     return ChaChaRng(ARK_TEST_RNG_SEED, rounds=12)
 
 
+def seeded_rng(seed: int) -> ChaChaRng:
+    """StdRng-semantics ChaCha12 stream for an arbitrary integer seed.
+    seed == 0 is EXACTLY `ark_std::test_rng()` so setups driven by the
+    default seed replay the reference's test transcripts; other seeds use
+    a Blake2s-derived 32-byte seed (`StdRng::from_seed` semantics)."""
+    if seed == 0:
+        return test_rng()
+    return ChaChaRng(hashlib.blake2s(b"zkmpc-seed:%d"
+                                     % seed).digest(), rounds=12)
+
+
 def fp_rand(rng: ChaChaRng, p: int, nlimbs: int, modulus_bits: int) -> int:
     """`Fp::rand`: sample nlimbs u64s (low limb first), shave the bits above
     modulus_bits off the top limb, reject if >= p.  The accepted limbs are
@@ -181,6 +192,66 @@ def g1_decompress(b: bytes):
     return x, y
 
 
+#: BLS12-377 Fq2 = Fq[u]/(u^2 - NR), NR = -5
+#: (`arkworks/curves/bls12_377/src/fields/fq2.rs:12`)
+FQ2_NONRESIDUE = FQ_P - 5
+
+
+def _fq2_sqrt(a0: int, a1: int) -> tuple[int, int] | None:
+    """Square root in Fq2 (complex method; `quadratic_extension.rs` sqrt).
+    Returns any root or None if a is a non-residue."""
+    p = FQ_P
+    if a1 == 0:
+        r = _sqrt_mod(a0, p)
+        if r is not None:
+            return r, 0
+        # a0 = NR * t^2 -> sqrt = t * u
+        t = _sqrt_mod(a0 * pow(FQ2_NONRESIDUE, -1, p) % p, p)
+        if t is None:
+            return None
+        return 0, t
+    # norm = a0^2 - NR a1^2 must be a square in Fq
+    alpha = (a0 * a0 - FQ2_NONRESIDUE * a1 % p * a1) % p
+    n = _sqrt_mod(alpha, p)
+    if n is None:
+        return None
+    inv2 = pow(2, -1, p)
+    delta = (a0 + n) * inv2 % p
+    x0 = _sqrt_mod(delta, p)
+    if x0 is None:
+        delta = (a0 - n) % p * inv2 % p
+        x0 = _sqrt_mod(delta, p)
+        if x0 is None:
+            return None
+    x1 = a1 * pow(2 * x0 % p, -1, p) % p
+    return x0, x1
+
+
+def g2_decompress(b: bytes):
+    """Recover (((x0, x1), (y0, y1)) or None) from the 96-byte compressed
+    form: y^2 = x^3 + b' over Fq2, b' = (0, params.G2_B_C1) (BLS12-377 G2
+    D-type twist)."""
+    x0, _ = fp_from_bytes(b[:48])
+    x1, flags = fp_from_bytes(b[48:], strip_flags=True)
+    if flags & SW_INFINITY:
+        return None
+    p = FQ_P
+    # x^3 in Fq2
+    s0, s1 = (x0 * x0 - 5 * x1 % p * x1) % p, 2 * x0 * x1 % p     # x^2
+    c0 = (s0 * x0 - 5 * s1 % p * x1) % p                          # x^3
+    c1 = (s0 * x1 + s1 * x0) % p
+    rhs0, rhs1 = c0, (c1 + params.G2_B_C1) % p
+    y = _fq2_sqrt(rhs0, rhs1)
+    if y is None:
+        raise ValueError("not on curve")
+    y0, y1 = y
+    neg = ((p - y1) % p, (p - y0) % p)
+    pos = (y1, y0) > neg
+    if pos != bool(flags & SW_POSITIVE_Y):
+        y0, y1 = (p - y0) % p, (p - y1) % p
+    return (x0, x1), (y0, y1)
+
+
 def g2_compressed(pt) -> bytes:
     """G2 (Fq2 coords): x = (c0, c1) with flags on c1.  96 bytes.
     pt: ((x0, x1), (y0, y1)) or None."""
@@ -252,6 +323,17 @@ def groth16_proof_from_ints(proof_ints) -> bytes:
     ((ax, ay), ((bx0, bx1), (by0, by1)), (cx, cy))."""
     a, b, c = proof_ints
     return groth16_proof_bytes(a, b, c)
+
+
+def groth16_proof_from_bytes(blob: bytes):
+    """Inverse of `groth16_proof_bytes`: parse the 192-byte ark
+    `Proof::deserialize` layout back to ((ax, ay), ((bx0, bx1),
+    (by0, by1)), (cx, cy)) host ints (None = infinity per component)."""
+    assert len(blob) == 192, f"ark Groth16 proof is 192 bytes, got {len(blob)}"
+    a = g1_decompress(blob[0:48])
+    b = g2_decompress(blob[48:144])
+    c = g1_decompress(blob[144:192])
+    return a, b, c
 
 
 def marlin_fs_init(index_vk_bytes: bytes, public_input_ints) -> FiatShamirRng:

@@ -16,7 +16,6 @@ Layout mirrors the reference's split (`src/groth16.rs`):
 from __future__ import annotations
 
 import dataclasses
-import random as pyrandom
 
 import numpy as np
 
@@ -96,10 +95,19 @@ def _domain_size(cs: ConstraintSystem) -> int:
     return n
 
 
+def _toxic_waste(seed: int):
+    """alpha, beta, gamma, delta, tau via ark `Fp::rand` semantics on a
+    ChaCha12 StdRng stream (`compat/ark.py`; `generator.rs:17` draws the
+    trapdoor with `E::Fr::rand(rng)` — seed 0 replays `ark_std::test_rng()`
+    draws exactly)."""
+    from ..compat import ark as A_
+    rng = A_.seeded_rng(seed)
+    return tuple(A_.fr_rand(rng) for _ in range(5))
+
+
 def setup(cs: ConstraintSystem, seed: int = 0) -> ProvingKey:
     """Trusted setup over plain ints (host).  Test-grade toxic waste from seed."""
-    rng = pyrandom.Random(seed)
-    alpha, beta, gamma, delta, tau = (rng.randrange(1, R) for _ in range(5))
+    alpha, beta, gamma, delta, tau = _toxic_waste(seed)
     n = _domain_size(cs)
     m = cs.num_vars
     nc = len(cs.constraints)
@@ -159,8 +167,7 @@ def setup_params(cs: ConstraintSystem, seed: int = 0):
 
     Kept separate so the expensive fixed-base scalar multiplications can run
     on device (`device_setup`) for large circuits."""
-    rng = pyrandom.Random(seed)
-    alpha, beta, gamma, delta, tau = (rng.randrange(1, R) for _ in range(5))
+    alpha, beta, gamma, delta, tau = _toxic_waste(seed)
     n = _domain_size(cs)
     m = cs.num_vars
     nc = len(cs.constraints)

@@ -17,7 +17,6 @@ Setup and pairing verification are host-side spec code (like Groth16's).
 from __future__ import annotations
 
 import dataclasses
-import random as pyrandom
 
 import numpy as np
 
@@ -50,8 +49,10 @@ class DeviceKzgSrs:
 
 
 def setup(max_degree: int, seed: int = 0) -> KzgSrs:
-    rng = pyrandom.Random(seed)
-    tau = rng.randrange(1, R)
+    """KZG universal setup; tau drawn via ark `Fp::rand` on a ChaCha12
+    StdRng stream (seed 0 = `ark_std::test_rng()`, `compat/ark.py`)."""
+    from ..compat import ark as A_
+    tau = A_.fr_rand(A_.seeded_rng(seed))
     g1, g2 = SC.G1_GEN, SC.G2_GEN
     powers = []
     acc = 1

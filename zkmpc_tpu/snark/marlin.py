@@ -29,7 +29,6 @@ Protocol:
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 
 import numpy as np
 
@@ -70,9 +69,14 @@ class MarlinIndex:
     srs: kzg.KzgSrs
     domain_n: int
     num_instance: int
-    matrices: tuple          # host COO (A, B, C)
+    matrices: tuple          # host COO (A, B, C), columns in H-index layout
     dev_matrices: tuple      # DeviceMatrix triples with n_rows = n
     index_comms: tuple = None    # MatrixIndexComms per matrix
+    # --- x/w split (ark-marlin input-domain layout) ---
+    nx: int = 1              # |X| = next_pow2(num_instance), X subgroup of H
+    num_witness: int = 0
+    perm: object = None      # [n] int32: H slot -> source index into
+    #                          [instance..., witness..., 0]; len(z)=sentinel 0
 
 
 def _index_matrix(srs_dev, coo, n: int) -> MatrixIndexComms:
@@ -113,12 +117,45 @@ def _omega(n: int) -> int:
     return SF.root_of_unity(R, FR.generator, FR.two_adicity, n)
 
 
-def srs_degree_for(cs: ConstraintSystem) -> int:
-    """Smallest SRS degree that can index + prove this circuit."""
+def _domain_sizes(cs: ConstraintSystem) -> tuple[int, int]:
+    """(n, nx): |H| and |X| for this circuit.  X = next_pow2(num_instance)
+    must be a subgroup of H, and H must hold the padded instance (nx slots)
+    plus every witness (`marlin/src/ahp/mod.rs` domain sizing)."""
+    nx = 1
+    while nx < cs.num_instance:
+        nx <<= 1
     n = 1
-    need = max(len(cs.constraints), cs.num_vars, 2)
+    need = max(len(cs.constraints), nx + cs.num_witness, 2, nx)
     while n < need:
         n <<= 1
+    return n, nx
+
+
+def _h_layout(n: int, nx: int, ninst: int, nwit: int):
+    """H-slot layout of the x/w split: instance i sits at H-index i*(n/nx)
+    (the subgroup X = <omega^(n/nx)>), witnesses fill the complement in
+    order.  Returns (perm [n] -> source idx with sentinel ninst+nwit,
+    col_map [ninst+nwit] -> H-index)."""
+    stride = n // nx
+    x_pos = [i * stride for i in range(nx)]
+    in_x = np.zeros(n, dtype=bool)
+    in_x[x_pos] = True
+    wit_pos = np.nonzero(~in_x)[0]
+    assert nwit <= len(wit_pos)
+    nvars = ninst + nwit
+    perm = np.full(n, nvars, dtype=np.int32)
+    for i in range(ninst):
+        perm[i * stride] = i
+    perm[wit_pos[:nwit]] = ninst + np.arange(nwit, dtype=np.int32)
+    col_map = np.empty(nvars, dtype=np.int32)
+    col_map[:ninst] = stride * np.arange(ninst, dtype=np.int32)
+    col_map[ninst:] = wit_pos[:nwit]
+    return perm, col_map
+
+
+def srs_degree_for(cs: ConstraintSystem) -> int:
+    """Smallest SRS degree that can index + prove this circuit."""
+    n, _ = _domain_sizes(cs)
     A, B, C = cs.matrices()
     kmax = 2
     for m in (A, B, C):
@@ -145,15 +182,21 @@ def index_with_srs(srs: kzg.KzgSrs, cs: ConstraintSystem) -> MarlinIndex:
     need = srs_degree_for(cs)
     assert len(srs.powers) - 1 >= need, \
         f"universal SRS degree {len(srs.powers) - 1} < required {need}"
-    n = 1
-    nmin = max(len(cs.constraints), cs.num_vars, 2)
-    while n < nmin:
-        n <<= 1
-    A, B, C = cs.matrices()
+    n, nx = _domain_sizes(cs)
+    perm, col_map = _h_layout(n, nx, cs.num_instance, cs.num_witness)
+    # remap matrix columns from variable order to H-slot order (the ark
+    # input-domain layout: `ahp/indexer.rs` pads + interleaves x into H)
+    mats = []
+    for rows, cols, coeffs in cs.matrices():
+        new_cols = col_map[np.asarray(cols, dtype=np.int64)] if len(cols) \
+            else np.asarray([], dtype=np.int32)
+        mats.append((rows, new_cols, coeffs))
+    mats = tuple(mats)
     dsrs = srs.device()
-    dev = tuple(DeviceMatrix.from_coo(FR, m, n) for m in (A, B, C))
-    comms = tuple(_index_matrix(dsrs, m, n) for m in (A, B, C))
-    return MarlinIndex(srs, n, cs.num_instance, (A, B, C), dev, comms)
+    dev = tuple(DeviceMatrix.from_coo(FR, m, n) for m in mats)
+    comms = tuple(_index_matrix(dsrs, m, n) for m in mats)
+    return MarlinIndex(srs, n, cs.num_instance, mats, dev, comms,
+                       nx=nx, num_witness=cs.num_witness, perm=perm)
 
 
 def setup_and_index(cs: ConstraintSystem, seed: int = 0) -> MarlinIndex:
@@ -162,21 +205,67 @@ def setup_and_index(cs: ConstraintSystem, seed: int = 0) -> MarlinIndex:
     return index_with_srs(universal_setup(srs_degree_for(cs), seed=seed), cs)
 
 
-def _fs_challenge(tag: bytes, *points) -> int:
-    h = hashlib.blake2b(digest_size=32)
-    h.update(tag)
+def _pt_bytes(pt) -> bytes:
+    """FS-absorb encoding of a host affine point: ark ToBytes
+    (full-width x || y || infinity byte, `compat/ark.py:g1_affine_to_bytes`)."""
+    from ..compat import ark as A_
+    return A_.g1_affine_to_bytes(pt)
+
+
+def _fs_start(index: "MarlinIndex", instance_ints):
+    """ONE chained Fiat-Shamir transcript for the whole proof
+    (`arkworks/marlin/src/rng.rs:40-70` seed = H(new || old) semantics via
+    `compat/ark.py:FiatShamirRng`; init order `marlin/src/lib.rs:163,346`:
+    PROTOCOL_NAME || index_vk || public_input).  Every challenge drawn from
+    this rng transitively binds the entire prior transcript — the round-4
+    per-challenge blake2b tags were unchained (a soundness hole: eta did not
+    absorb the z_M commitments, so a prover could pick eta-cancelling
+    errors; see tests/test_marlin.py cheating-prover cases)."""
+    from ..compat import ark as A_
+    buf = b"MARLIN-2019"
+    buf += int(index.domain_n).to_bytes(8, "little")
+    buf += int(index.nx).to_bytes(8, "little")
+    buf += int(index.num_instance).to_bytes(8, "little")
+    for mic in (index.index_comms or ()):
+        buf += int(mic.k_size).to_bytes(8, "little")
+        for pt in (mic.com_row, mic.com_col, mic.com_val):
+            buf += _pt_bytes(pt)
+    for v in instance_ints:
+        buf += int(v).to_bytes(32, "little")
+    return A_.FiatShamirRng(buf)
+
+
+def _fs_absorb(fs, *, points=(), ints=()):
+    buf = b""
     for pt in points:
-        if pt is None:
-            h.update(b"inf")
-        else:
-            x, y = pt
-            if isinstance(x, tuple):
-                for c in (*x, *y):
-                    h.update(int(c).to_bytes(48, "little"))
-            else:
-                h.update(int(x).to_bytes(48, "little"))
-                h.update(int(y).to_bytes(48, "little"))
-    return int.from_bytes(h.digest(), "little") % R
+        buf += _pt_bytes(pt)
+    for v in ints:
+        buf += int(v).to_bytes(32, "little")
+    fs.absorb(buf)
+
+
+def _fs_round3_absorb(fs, mat_proofs):
+    """Absorb the holographic round-3 messages (sigma + commitments) in
+    matrix order (A, B, C)."""
+    buf = b""
+    for mp in mat_proofs:
+        buf += int(mp["sigma"]).to_bytes(32, "little")
+        for pt in (mp["com_g3"], mp["com_h3"], mp["com_g3_shift"]):
+            buf += _pt_bytes(pt)
+    fs.absorb(buf)
+
+
+def _fs_evals_absorb(fs, evals, mat_proofs):
+    """Absorb every published evaluation (beta evals in _BETA_ORDER, then
+    per-matrix beta3 evals in _BETA3_ORDER) before drawing the opening
+    LC challenges xi / xi3 (`marlin/src/lib.rs:296` evaluations absorb)."""
+    buf = b""
+    for name in _BETA_ORDER:
+        buf += int(evals[name]).to_bytes(32, "little")
+    for mp in mat_proofs:
+        for name in _BETA3_ORDER:
+            buf += int(mp["evals"][name]).to_bytes(32, "little")
+    fs.absorb(buf)
 
 
 def _open_point(mp) -> tuple | None:
@@ -197,8 +286,10 @@ def _evals_pad(x: MpcFp, n: int) -> MpcFp:
     return kzg._pad_to(x, n)
 
 
-#: fixed order of the polynomials batch-opened at beta (FS + LC ordering)
-_BETA_ORDER = ("z", "za", "zb", "zc", "m", "h0", "g", "q")
+#: fixed order of the polynomials batch-opened at beta (FS + LC ordering);
+#: "w" is the witness polynomial w_hat of the x/w split — z itself is never
+#: committed (z = x_poly + v_X * w_hat, `ahp/prover.rs:243` publicized input)
+_BETA_ORDER = ("w", "za", "zb", "zc", "m", "h0", "g", "q")
 #: fixed order of the per-matrix polynomials batch-opened at beta3
 _BETA3_ORDER = ("row", "col", "val", "g3", "h3")
 
@@ -206,7 +297,15 @@ _BETA3_ORDER = ("row", "col", "val", "g3", "h3")
 def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     """Collaborative prove under the ambient MPC scope.  Returns the opened
     proof dict (commitments, publicized evaluations, TWO batched opening
-    witnesses + per-instance-point opens).
+    witnesses).
+
+    x/w split (`arkworks/marlin/src/ahp/prover.rs:243`): the assignment z
+    lives on H in the input-domain layout (instance on the subgroup X,
+    witness on H \\ X); the prover commits only w_hat = (z - x_poly) / v_X,
+    and the verifier reconstructs z(beta) = x_poly(beta) + v_X(beta) *
+    w_hat(beta) from the public inputs itself — proof size and verify time
+    are O(1) in the instance count (the round-4 per-instance-slot KZG opens
+    are gone).
 
     Zero-knowledge: each witness polynomial is masked with a fresh shared
     multiple of v_H (evals on H unchanged, the published beta-evaluation is
@@ -218,38 +317,47 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     X^(D-(n-2)) * g (marlin_pc `shifted_comm`, `poly-commit/src/lib.rs:178`)
     folded into ONE batched opening at beta (`open_combinations`,
     `poly-commit/src/lib.rs:315`); deg(g3) <= k-2 likewise at beta3.
+    All challenges come from ONE chained FiatShamirRng (`_fs_start`).
     """
     import jax
 
     dsrs = index.srs.device()
     n = index.domain_n
+    nx = index.nx
     D = len(index.srs.powers) - 1
     dom = Domain(FR, n)
     big = Domain(FR, 2 * n)
     A, Bm, Cm = index.dev_matrices
 
-    z = cs.full_assignment()
-    z_pad = _evals_pad(z, n)                 # z as evals over H (var slots)
-    za = _evals_pad(A.matvec(z), n)
-    zb = _evals_pad(Bm.matvec(z), n)
-    zc = _evals_pad(Cm.matvec(z), n)
+    instance_ints = cs.instance_ints()
+    z_evals = _layout_assignment(index, cs)  # z over H, input-domain layout
+    za = _evals_pad(A.matvec(z_evals), n)
+    zb = _evals_pad(Bm.matvec(z_evals), n)
+    zc = _evals_pad(Cm.matvec(z_evals), n)
 
     # zk masking: poly + c * v_H (deg n), c fresh shared randomness
     ks = jax.random.split(key, 5)
-    z_poly = _mask_vh(_poly_from_evals(z_pad, dom), ks[0], n)
+    z_poly = _mask_vh(_poly_from_evals(z_evals, dom), ks[0], n)
     za_poly = _mask_vh(_poly_from_evals(za, dom), ks[1], n)
     zb_poly = _mask_vh(_poly_from_evals(zb, dom), ks[2], n)
     zc_poly = _mask_vh(_poly_from_evals(zc, dom), ks[3], n)
     m_poly = _sum_zero_mask(ks[4], n)        # sumcheck mask, sum_H m = 0
 
-    # round 1: commit z, zA, zB, zC, m; publicize; FS -> alpha, etas
-    com_z = _open_point(kzg.commit(dsrs, z_poly))
+    # witness polynomial: w_hat = (z - x_poly) / v_X  (exact: z - x_poly
+    # vanishes on X; the v_H zk mask is itself divisible by v_X since X <= H)
+    x_poly = _x_poly(index, instance_ints)   # public, nx coeffs
+    w_poly = _div_by_vx(z_poly, x_poly, nx, big)
+
+    # round 1: commit w, zA, zB, zC, m; publicize; absorb; FS -> alpha, etas
+    com_w = _open_point(kzg.commit(dsrs, w_poly))
     com_za = _open_point(kzg.commit(dsrs, za_poly))
     com_zb = _open_point(kzg.commit(dsrs, zb_poly))
     com_zc = _open_point(kzg.commit(dsrs, zc_poly))
     com_m = _open_point(kzg.commit(dsrs, m_poly))
-    alpha = _fs_challenge(b"marlin-r1", com_z, com_za, com_zb, com_zc, com_m)
-    eta = [_fs_challenge(b"marlin-eta%d" % i, com_z) for i in range(3)]
+    fs = _fs_start(index, instance_ints)
+    _fs_absorb(fs, points=(com_w, com_za, com_zb, com_zc, com_m))
+    alpha = fs.fr_challenge()
+    eta = [fs.fr_challenge() for _ in range(3)]
 
     # rowcheck quotient: h0 = (zA zB - zC) / v_H.  The masked polys have
     # degree n, so the product needs the 2n coset (v_H is NOT constant
@@ -290,7 +398,8 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
     com_g = _open_point(kzg.commit(dsrs, g_poly))
     com_q = _open_point(kzg.commit(dsrs, q_poly))
     com_g_shift = _open_point(kzg.commit_shifted(dsrs, g_poly, shift_g))
-    beta = _fs_challenge(b"marlin-r2", com_h0, com_g, com_q, com_g_shift)
+    _fs_absorb(fs, points=(com_h0, com_g, com_q, com_g_shift))
+    beta = fs.fr_challenge()
     beta_fp = FpArray.from_int(FR, np.asarray(beta, dtype=object))
 
     # round 3 (holographic matrix sumcheck, AHP round 3): for each matrix,
@@ -304,10 +413,11 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
                 _matrix_sumcheck_prove(dsrs, mic, alpha, beta, D))
     beta3 = None
     w_beta3 = None
+    items3 = []
     if mat_proofs:
-        beta3 = _beta3_challenge(mat_proofs)
+        _fs_round3_absorb(fs, mat_proofs)
+        beta3 = fs.fr_challenge()
         b3_fp = FpArray.from_int(FR, np.asarray(beta3, dtype=object))
-        items3 = []
         for mic, mp in zip(index.index_comms, mat_proofs):
             k = mic.k_size
             g3_poly, h3_poly = mp.pop("g3_poly"), mp.pop("h3_poly")
@@ -323,12 +433,10 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
             items3.append((MpcFp.from_public(g3_poly), D - (k - 2),
                            MpcFp.const(FR, evals3["g3"])))
             mp["evals"] = evals3
-        xi3 = _fs_xi(b"marlin-xi3", beta3, mat_proofs)
-        w_beta3 = _open_point(kzg.batch_open_at(
-            dsrs, items3, b3_fp, xi3, domain_n=kzg._next_pow2(D + 1)))
 
-    # ONE batched opening at beta for all committed polys
-    proof_polys = dict(z=z_poly, za=za_poly, zb=zb_poly, zc=zc_poly,
+    # publicize ALL evaluations, absorb them, then draw the two batched
+    # opening LC challenges (openings happen after the evals are bound)
+    proof_polys = dict(w=w_poly, za=za_poly, zb=zb_poly, zc=zc_poly,
                        m=m_poly, h0=h0_poly, g=g_poly, q=q_poly)
     evals = {}
     items = []
@@ -337,46 +445,58 @@ def prove(index: MarlinIndex, cs: ConstraintSystem, key):
         evals[name] = v
         items.append((proof_polys[name], 0, MpcFp.const(FR, v)))
     items.append((g_poly, shift_g, MpcFp.const(FR, evals["g"])))
-    coms = dict(z=com_z, za=com_za, zb=com_zb, zc=com_zc, m=com_m,
+    coms = dict(w=com_w, za=com_za, zb=com_zb, zc=com_zc, m=com_m,
                 h0=com_h0, g=com_g, q=com_q, g_shift=com_g_shift)
-    xi = _fs_xi_beta(beta, coms, evals)
+    _fs_evals_absorb(fs, evals, mat_proofs)
+    xi = fs.fr_challenge()
+    xi3 = fs.fr_challenge()
     w_beta = _open_point(kzg.batch_open_at(
         dsrs, items, beta_fp, xi, domain_n=kzg._next_pow2(D + 1)))
-
-    # instance-consistency opens: z at omega^j for each instance slot
-    # (the zk mask is a multiple of v_H, so z(omega^j) is still the public
-    # instance value)
-    inst_opens = []
-    for j in range(index.num_instance):
-        pt = FpArray.from_int(FR, np.asarray(pow(dom.omega, j, R),
-                                             dtype=object))
-        w_com, v = kzg.open_at(dsrs, z_poly, pt, domain_n=2 * n)
-        inst_opens.append((_open_point(w_com), _scalar_int(v)))
+    if mat_proofs:
+        w_beta3 = _open_point(kzg.batch_open_at(
+            dsrs, items3, b3_fp, xi3, domain_n=kzg._next_pow2(D + 1)))
     return dict(coms=coms, evals=evals, w_beta=w_beta,
                 alpha=alpha, eta=eta, beta=beta,
-                instance_opens=inst_opens, mat_proofs=mat_proofs,
-                beta3=beta3, w_beta3=w_beta3)
+                mat_proofs=mat_proofs,
+                beta3=beta3, w_beta3=w_beta3,
+                fs_digest=fs.seed.hex())
 
 
 def verify(index: MarlinIndex, instance_ints, proof) -> bool:
     n = index.domain_n
+    nx = index.nx
     D = len(index.srs.powers) - 1
-    dom = Domain(FR, n)
     coms = proof["coms"]
     ev = proof["evals"]
-    # recompute challenges from the transcript
-    alpha = _fs_challenge(b"marlin-r1", coms["z"], coms["za"], coms["zb"],
-                          coms["zc"], coms["m"])
-    eta = [_fs_challenge(b"marlin-eta%d" % i, coms["z"]) for i in range(3)]
-    beta = _fs_challenge(b"marlin-r2", coms["h0"], coms["g"], coms["q"],
-                         coms["g_shift"])
+    if len(instance_ints) != index.num_instance or \
+            instance_ints[0] % R != 1:
+        return False
+    # replay the chained transcript: every challenge binds everything
+    # absorbed before it (commitments, round-3 messages, evaluations)
+    fs = _fs_start(index, instance_ints)
+    _fs_absorb(fs, points=(coms["w"], coms["za"], coms["zb"], coms["zc"],
+                           coms["m"]))
+    alpha = fs.fr_challenge()
+    eta = [fs.fr_challenge() for _ in range(3)]
+    _fs_absorb(fs, points=(coms["h0"], coms["g"], coms["q"],
+                           coms["g_shift"]))
+    beta = fs.fr_challenge()
     if alpha != proof["alpha"] or beta != proof["beta"] or eta != proof["eta"]:
         return False
+    mat_proofs = proof.get("mat_proofs") or []
+    beta3 = None
+    if mat_proofs:
+        _fs_round3_absorb(fs, mat_proofs)
+        beta3 = fs.fr_challenge()
+        if proof.get("beta3") != beta3:
+            return False
+    _fs_evals_absorb(fs, ev, mat_proofs)
+    xi = fs.fr_challenge()
+    xi3 = fs.fr_challenge()
     # ONE batched KZG opening check at beta.  The degree bound on g rides
     # along: the g_shift entry's expected value is beta^(D-(n-2)) * g(beta);
     # if deg(g) > n-2 no SRS-computable com_g_shift satisfies this w.h.p.
     shift_g = D - (n - 2)
-    xi = _fs_xi_beta(beta, coms, ev)
     batch_coms = [coms[name] for name in _BETA_ORDER] + [coms["g_shift"]]
     batch_vals = [ev[name] for name in _BETA_ORDER] + \
         [pow(beta, shift_g, R) * ev["g"] % R]
@@ -387,17 +507,19 @@ def verify(index: MarlinIndex, instance_ints, proof) -> bool:
     # rowcheck at beta
     if (ev["za"] * ev["zb"] - ev["zc"]) % R != ev["h0"] * v_H_beta % R:
         return False
+    # x/w split: reconstruct z(beta) from the public inputs — the verifier
+    # evaluates the x-polynomial itself (`ahp/prover.rs:243` publicized
+    # input), no per-instance opens needed
+    x_beta = _x_poly_eval_host(index, instance_ints, beta)
+    v_X_beta = (pow(beta, nx, R) - 1) % R
+    z_beta = (x_beta + v_X_beta * ev["w"]) % R
     # lincheck sumcheck identity at beta; r*(beta) comes from the holographic
     # matrix sumchecks when the index is committed (succinct verifier), with
     # the direct matrix scan as the non-holographic fallback
     u_ab = _u_H_point(alpha, beta, n)
-    mat_proofs = proof.get("mat_proofs") or []
     if index.index_comms is not None and mat_proofs:
         if len(mat_proofs) != len(index.index_comms):
             return False
-        if proof.get("beta3") != _beta3_challenge(mat_proofs):
-            return False
-        beta3 = proof["beta3"]
         # ONE batched opening check at beta3 across all matrices, with the
         # per-matrix deg(g3) <= k-2 bounds folded in
         items_coms, items_vals = [], []
@@ -414,7 +536,6 @@ def verify(index: MarlinIndex, instance_ints, proof) -> bool:
             items_coms.append(mp["com_g3_shift"])
             items_vals.append(
                 pow(beta3, D - (mic.k_size - 2), R) * ev3["g3"] % R)
-        xi3 = _fs_xi(b"marlin-xi3", beta3, mat_proofs)
         if not kzg.verify_batch_open(index.srs, items_coms, items_vals,
                                      beta3, xi3, proof["w_beta3"]):
             return False
@@ -430,66 +551,88 @@ def verify(index: MarlinIndex, instance_ints, proof) -> bool:
         rstar_b = _rstar_eval_host(index, alpha, eta, beta)
     p_beta = (sum(e * zv for e, zv in
                   zip(eta, (ev["za"], ev["zb"], ev["zc"]))) % R * u_ab
-              - rstar_b * ev["z"] + ev["m"]) % R
+              - rstar_b * z_beta + ev["m"]) % R
     rhs = (beta * ev["g"] + v_H_beta * ev["q"]) % R
     if p_beta != rhs:
         return False
-    # instance consistency: z poly interpolates the public inputs on the
-    # first num_instance domain points (the zk mask vanishes on H)
-    omega = dom.omega
-    inst = proof.get("instance_opens")
-    if inst is None or len(inst) != len(instance_ints):
-        return False
-    for j, (w_pt, v_int) in enumerate(inst):
-        pt = pow(omega, j, R)
-        if v_int != instance_ints[j] % R:
-            return False
-        if not kzg.verify_open(index.srs, coms["z"], pt, v_int, w_pt):
-            return False
     return True
 
 
 # ------------------------------------------------- holographic round 3
 
 
-def _beta3_challenge(mat_proofs) -> int:
-    h = hashlib.blake2b(digest_size=32)
-    h.update(b"marlin-r3")
-    for mp in mat_proofs:
-        h.update(int(mp["sigma"]).to_bytes(32, "little"))
-        for pt in (mp["com_g3"], mp["com_h3"], mp["com_g3_shift"]):
-            h.update(int(pt[0]).to_bytes(48, "little"))
-            h.update(int(pt[1]).to_bytes(48, "little"))
-    return int.from_bytes(h.digest(), "little") % R
+def _layout_assignment(index: MarlinIndex, cs: ConstraintSystem) -> MpcFp:
+    """The full assignment scattered into H slots per `index.perm`
+    (instance on X, witness on H \\ X, zeros elsewhere) — ONE gather."""
+    import jax.numpy as jnp
+    z = cs.full_assignment()                 # [num_vars], shared
+    zero = z[0:1].smul(0)                    # zero share, same party layout
+    z_ext = MpcFp.concat([z, zero], axis=0)
+    perm = jnp.asarray(index.perm, dtype=jnp.int32)
+
+    def f(fp: FpArray):
+        return FpArray(jnp.take(fp.limbs, perm, axis=-2), fp.spec, fp.bound)
+    return MpcFp(f(z_ext.value), SHARED,
+                 None if z_ext.mac is None else f(z_ext.mac))
 
 
-def _fs_xi(tag: bytes, point: int, mat_proofs) -> int:
-    """LC challenge for the batched beta3 opening: binds the query point and
-    every published evaluation."""
-    h = hashlib.blake2b(digest_size=32)
-    h.update(tag)
-    h.update(int(point).to_bytes(32, "little"))
-    for mp in mat_proofs:
-        for name in _BETA3_ORDER:
-            h.update(int(mp["evals"][name]).to_bytes(32, "little"))
-    return int.from_bytes(h.digest(), "little") % R
+def _x_poly(index: MarlinIndex, instance_ints) -> FpArray:
+    """Public x-polynomial: interpolates [instance..., 0-pad] over the input
+    domain X (|X| = nx).  omega_X = omega_H^(n/nx) by the canonical 2-adic
+    root construction, so X really is the subgroup the layout uses."""
+    nx = index.nx
+    vals = [int(v) % R for v in instance_ints] + \
+        [0] * (nx - len(instance_ints))
+    domX = Domain(FR, nx)
+    return domX.ifft(FpArray.from_int(FR, np.asarray(vals, dtype=object)))
 
 
-def _fs_xi_beta(beta: int, coms, evals) -> int:
-    """LC challenge for the batched beta opening."""
-    h = hashlib.blake2b(digest_size=32)
-    h.update(b"marlin-xi")
-    h.update(int(beta).to_bytes(32, "little"))
-    for name in _BETA_ORDER:
-        h.update(int(evals[name]).to_bytes(32, "little"))
-    for name in sorted(coms):
-        pt = coms[name]
-        if pt is None:
-            h.update(b"inf")
-        else:
-            h.update(int(pt[0]).to_bytes(48, "little"))
-            h.update(int(pt[1]).to_bytes(48, "little"))
-    return int.from_bytes(h.digest(), "little") % R
+def _div_by_vx(z_poly: MpcFp, x_poly: FpArray, nx: int, big: Domain) -> MpcFp:
+    """w_hat = (z_poly - x_poly) / v_X, exact (numerator vanishes on X).
+    Pointwise on the 2n coset — v_X(g w^i) = g^nx w^{i nx} - 1 is never
+    zero there."""
+    n2 = big.n
+    p = FR.p
+    zx = _apply(kzg._pad_to(z_poly, n2), big.coset_fft) - \
+        MpcFp.from_public(big.coset_fft(_pad_pub(x_poly, n2)))
+    g = big.coset_gen
+    gnx = pow(g, nx, p)
+    wnx = pow(big.omega, nx, p)
+    vx_inv = []
+    acc = gnx
+    for _ in range(n2):
+        vx_inv.append(pow((acc - 1) % p, -1, p))
+        acc = acc * wnx % p
+    vxi = FpArray.from_int(FR, np.asarray(vx_inv, dtype=object))
+    w_evals = _scale(zx, vxi)
+    w_coeffs = _apply(w_evals, big.coset_ifft)
+    # deg(z_poly) = n (zk mask), so deg(w_hat) = n - nx -> n - nx + 1 coeffs
+    return kzg._slice(w_coeffs, n2 // 2 - nx + 1)
+
+
+def _x_poly_eval_host(index: MarlinIndex, instance_ints, beta: int) -> int:
+    """x_poly(beta) from the public inputs (host):
+    sum_i x_i * v_X(beta) * omega_X^i / (nx * (beta - omega_X^i))."""
+    nx = index.nx
+    omega_x = SF.root_of_unity(R, FR.generator, FR.two_adicity, nx)
+    vx_b = (pow(beta, nx, R) - 1) % R
+    if vx_b == 0:
+        # beta landed on X (prob ~ nx/p): evaluate by direct match
+        w = 1
+        for i in range(nx):
+            if w == beta % R:
+                xs = list(instance_ints) + [0] * (nx - len(instance_ints))
+                return int(xs[i]) % R
+            w = w * omega_x % R
+        return 0
+    total = 0
+    nx_inv = pow(nx, -1, R)
+    w = 1
+    for i, v in enumerate(instance_ints):
+        li = vx_b * w % R * nx_inv % R * pow((beta - w) % R, -1, R) % R
+        total = (total + int(v) * li) % R
+        w = w * omega_x % R
+    return total
 
 
 def _mask_vh(poly: MpcFp, key, n: int) -> MpcFp:
