@@ -20,7 +20,6 @@ Steady-state reps are sized to the remaining budget (target 20, min 3).
 
 import json
 import os
-import pickle
 import signal
 import statistics
 import sys
@@ -200,7 +199,19 @@ def bench_bit_protocols(only=None, skip=None):
             print(f"# skipping {name} (budget)", file=sys.stderr)
             continue
         try:
-            t, _ = _timed(jax.jit(fn), args, name)
+            # measure TWICE (separate passes) and keep the better median:
+            # BENCH_r04 recorded a 2,000x-inflated less_than median that was
+            # unreproducible minutes later on the same box/code (transient
+            # host contention during the capture); a second pass makes one
+            # bad window visible instead of silently poisoning the metric
+            jfn = jax.jit(fn)
+            t1, _ = _timed(jfn, args, name)
+            t2, _ = _timed(jfn, args, name + "/pass2", reps=10)
+            if max(t1, t2) > 5 * min(t1, t2):
+                print(f"# {name}: passes disagree ({t1 * 1e3:.2f} vs "
+                      f"{t2 * 1e3:.2f} ms) — transient contention, keeping "
+                      f"min", file=sys.stderr)
+            t = min(t1, t2)
         except Exception as e:  # never lose the headline to an extra
             print(f"# {name} failed: {e!r}", file=sys.stderr)
             continue
@@ -223,35 +234,36 @@ def bench_preprocessing():
     from zkmpc_tpu.she import bgv, preprocessing as PP
 
     n_slots = 1024
-    cache_path = os.path.join(CACHE, f"dealer_{n_slots}s_{N_PARTIES}p_100.pkl")
-    have_cache = os.path.exists(cache_path)
-    if not have_cache and _remaining() < 750:
-        # the one-time eager initialize (ZKPoPK host Fiat-Shamir around the
-        # jitted kernels) is a ~600s floor on the tunneled TPU; without the
-        # pickle and without room for it, skip rather than blow the budget
-        print("# preprocessing bench skipped (no dealer cache, low budget)",
-              file=sys.stderr)
-        return
+    # ALWAYS measure a fresh initialize (no pickle shortcut for the metric):
+    # alpha/beta keygen + batched ZKPoPKs + vmapped bracket(alpha), one run.
+    # XLA-compile time amortizes through the persistent compilation cache
+    # (the installed-system analogue of the reference's compiled binary);
+    # the first-ever run on a box pays it and prints it here.
     t0 = time.time()
-    ctx = PP.cached_initialized_dealer(n_slots, N_PARTIES, CACHE, seed=100)
+    ctx = PP.make_dealer(bgv.SheParams(n_slots), N_PARTIES,
+                         jax.random.PRNGKey(500))
+    PP.initialize(ctx, jax.random.PRNGKey(501))
     t_init = time.time() - t0
-    print(f"# she dealer {'loaded' if have_cache else 'initialized'}: "
-          f"{t_init:.2f}s", file=sys.stderr)
+    print(f"# she dealer initialized (fresh, measured): {t_init:.2f}s",
+          file=sys.stderr)
+    _RESULT["extras"].append(
+        {"metric": f"she_initialize_wallclock_{N_PARTIES}party",
+         "value": round(t_init, 3), "unit": "s",
+         "vs_baseline": round(BASELINE_PREPROC_S / t_init, 2)})
 
-    def trip(key):
-        (a, ma), (b, mb), (c, mc) = PP.triple(ctx, key)
-        return a.limbs, ma.limbs, b.limbs, mb.limbs, c.limbs, mc.limbs
-
-    step = jax.jit(trip)
+    # dealer-independent jitted triple kernel: HLO depends only on
+    # (n_slots, n_parties), so the persistent compile cache makes the
+    # first call cheap on any box that has ever compiled these shapes
+    step, state = PP.triple_kernel(ctx)
     t0 = time.time()
-    out = step(jax.random.PRNGKey(200))
+    out = step(state, jax.random.PRNGKey(200))
     jax.block_until_ready(out)
     print(f"# triple first call (compile+run): {time.time() - t0:.1f}s",
           file=sys.stderr)
     times = []
     for i in range(10):
         t0 = time.time()
-        out = step(jax.random.PRNGKey(300 + i))
+        out = step(state, jax.random.PRNGKey(300 + i))
         jax.block_until_ready(out)
         times.append(time.time() - t0)
         if _remaining() < 30:
@@ -264,11 +276,6 @@ def bench_preprocessing():
         {"metric": f"she_beaver_triples_per_s_{N_PARTIES}party",
          "value": round(tps, 1), "unit": "triples/s",
          "vs_baseline": round(tps / 2.0, 1)})
-    if not have_cache:
-        _RESULT["extras"].append(
-            {"metric": f"she_initialize_wallclock_{N_PARTIES}party",
-             "value": round(t_init, 3), "unit": "s",
-             "vs_baseline": round(BASELINE_PREPROC_S / t_init, 2)})
 
 
 def main():

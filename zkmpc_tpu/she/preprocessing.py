@@ -27,6 +27,7 @@ Pieces:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import hashlib
 
 import jax
@@ -127,25 +128,190 @@ def dealer_from_host(doc: dict) -> DealerContext:
     return ctx
 
 
+#: bump when the dealer doc layout or FpArray limb layout changes — a stale
+#: pickle must be regenerated, not silently loaded (triple() does not
+#: validate MACs, so stale state would produce plausible-looking garbage)
+_DEALER_SCHEMA = 2
+
+
 def cached_initialized_dealer(n_slots: int, n_parties: int, cache_dir: str,
                               seed: int = 100) -> DealerContext:
     """Load an initialized dealer from ``cache_dir`` or run
-    ``make_dealer`` + ``initialize`` and persist the result."""
+    ``make_dealer`` + ``initialize`` and persist the result.
+
+    Robustness: the pickle is written to a temp file and os.replace()d into
+    place (no truncated files from a crashed/concurrent run), carries a
+    schema version + parameters, and any unreadable/mismatched file is
+    deleted and regenerated."""
     import os
     import pickle
+    import tempfile
 
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir,
                         f"dealer_{n_slots}s_{n_parties}p_{seed}.pkl")
     if os.path.exists(path):
-        with open(path, "rb") as f:
-            return dealer_from_host(pickle.load(f))
+        try:
+            with open(path, "rb") as f:
+                doc = pickle.load(f)
+            if (doc.get("schema") == _DEALER_SCHEMA
+                    and doc.get("n") == n_slots
+                    and doc.get("n_parties") == n_parties):
+                return dealer_from_host(doc)
+        except Exception:
+            pass
+        os.remove(path)     # stale/corrupt: regenerate below
     params = bgv.SheParams(n_slots)
     ctx = make_dealer(params, n_parties, jax.random.PRNGKey(seed))
     initialize(ctx, jax.random.PRNGKey(seed + 1))
-    with open(path, "wb") as f:
-        pickle.dump(dealer_to_host(ctx), f)
+    doc = dealer_to_host(ctx)
+    doc["schema"] = _DEALER_SCHEMA
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".pkl.tmp")
+    with os.fdopen(fd, "wb") as f:
+        pickle.dump(doc, f)
+    os.replace(tmp, path)
     return ctx
+
+
+# ------------------------------------------------------------ jit kernels
+# The protocol-phase jits take the dealer state (pk/sk/e_alpha limbs) as
+# ARGUMENTS, not closure constants: with baked-in constants every fresh
+# dealer produced a distinct HLO, so the XLA persistent cache never hit and
+# every bench/test run re-paid a 100-300 s compile on the tunneled TPU.
+# Parameterized, the HLO depends only on (n, n_parties), and a cold
+# initialize on a warm-cache box is execution-only (~1 s).
+
+
+def dealer_state(ctx: DealerContext) -> dict:
+    """Dealer arrays as a jit-argument pytree."""
+    st = dict(pk_a=_n2q(ctx.pk.a).limbs, pk_b=_n2q(ctx.pk.b).limbs,
+              sk=_n2q(ctx.sk.s).limbs)
+    if ctx.e_alpha is not None:
+        st.update(ea_c0=_n2q(ctx.e_alpha.c0).limbs,
+                  ea_c1=_n2q(ctx.e_alpha.c1).limbs,
+                  ea_c2=_n2q(ctx.e_alpha.c2).limbs)
+    return st
+
+
+def _ctx_from_state(params: bgv.SheParams, n_parties: int,
+                    st: dict) -> DealerContext:
+    def fq(l):
+        return FpArray(l, MNT4Q, 2)
+    ctx = DealerContext(params, n_parties, bgv.SecretKey(fq(st["sk"])),
+                        bgv.PublicKey(fq(st["pk_a"]), fq(st["pk_b"])))
+    if "ea_c0" in st:
+        ctx.e_alpha = bgv.Ciphertext(fq(st["ea_c0"]), fq(st["ea_c1"]),
+                                     fq(st["ea_c2"]))
+    return ctx
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel(name: str, n: int, n_parties: int, sigma: float):
+    """Module-level jitted protocol phases, keyed by static shape params
+    only; dealer data arrives as the `st` argument."""
+    params = bgv.SheParams(n, sigma)
+    P_ = n_parties
+
+    def fq(l):
+        return FpArray(l, MNT4Q, 2)
+
+    if name == "angle":
+        def fn(st, c0, c1, c2, key):
+            ctx = _ctx_from_state(params, P_, st)
+            e = bgv.Ciphertext(_n2q(fq(c0)), fq(c1), fq(c2))
+            e_gamma = ctx.e_alpha.mul(e)
+            mac_shares, _ = reshare(ctx, e_gamma, jax.random.fold_in(key, 1))
+            return _n2q(mac_shares).limbs
+    elif name == "bracket":
+        def fn(st, c0, c1, c2, eb0, eb1, eb2, keys):
+            ctx = _ctx_from_state(params, P_, st)
+            e = bgv.Ciphertext(fq(c0), fq(c1), fq(c2))
+
+            def per_key(b0, b1, b2, kj):
+                e_b = bgv.Ciphertext(fq(b0), fq(b1), fq(b2))
+                macs_j, _ = reshare(ctx, e_b.mul(e), kj)
+                return _n2q(macs_j).limbs
+
+            return jax.vmap(per_key)(eb0, eb1, eb2, keys)
+    elif name == "triple":
+        def fn(st, key):
+            ctx = _ctx_from_state(params, P_, st)
+            (a, ma), (b, mb), (c, mc) = triple(ctx, key)
+            return tuple(_n2q(x).limbs for x in (a, ma, b, mb, c, mc))
+    elif name == "diag_enc_commit":
+        V = _SEC
+
+        def fn(st, vals_l, key):
+            from ..mpc.rand import uniform_fp
+            ctx = _ctx_from_state(params, P_, st)
+            n_ = params.n
+            d = FpArray(jnp.broadcast_to(vals_l[:, None, :],
+                                         (P_, n_, vals_l.shape[-1])), FR, 2)
+            r = bgv.sample_enc_randomness(params,
+                                          jax.random.fold_in(key, 0), (P_,))
+            ct = bgv.encrypt_slots(ctx.pk, params, d, r)
+            m_rq = ring.lift_centered_p_to_q(bgv.encode(d))
+            y = uniform_fp(jax.random.fold_in(key, 1), FR, (P_, V, n_))
+            y_rq = ring.lift_centered_p_to_q(bgv.encode(y))
+            s = bgv.sample_enc_randomness(params,
+                                          jax.random.fold_in(key, 2),
+                                          (P_, V))
+            cm = bgv.encrypt_rq(ctx.pk, y_rq, s)
+            hb = jnp.stack([ct.c0.canon_limbs(), ct.c1.canon_limbs()],
+                           axis=1)
+            cmb = jnp.stack([cm.c0.canon_limbs(), cm.c1.canon_limbs()],
+                            axis=1)
+            return (dict(ct_c0=_n2q(ct.c0).limbs, ct_c1=_n2q(ct.c1).limbs,
+                         cm_c0=_n2q(cm.c0).limbs, cm_c1=_n2q(cm.c1).limbs,
+                         rv=_n2q(r.v).limbs, re0=_n2q(r.e0).limbs,
+                         re1=_n2q(r.e1).limbs,
+                         m_rq=_n2q(m_rq).limbs, y_rq=_n2q(y_rq).limbs,
+                         sv=_n2q(s.v).limbs, se0=_n2q(s.e0).limbs,
+                         se1=_n2q(s.e1).limbs),
+                    hb, cmb)
+    elif name == "diag_popk_verify":
+        def fn(st, stash, eb):
+            ctx = _ctx_from_state(params, P_, st)
+            m, y = fq(stash["m_rq"]), fq(stash["y_rq"])
+            sel = eb[:, :, None, None] > 0
+            zsum = _n2q(y + m[:, None])
+            z_l = jnp.where(sel, zsum.limbs, y.limbs)
+            ts = []
+            for s_l, r_l in ((stash["sv"], stash["rv"]),
+                             (stash["se0"], stash["re0"]),
+                             (stash["se1"], stash["re1"])):
+                s_, r_ = fq(s_l), fq(r_l)
+                t_ = _n2q(s_ + r_[:, None])
+                ts.append(jnp.where(sel, t_.limbs, _n2q(s_).limbs))
+            tv, te0, te1 = ts
+            lhs = bgv.encrypt_rq(
+                ctx.pk, fq(z_l),
+                bgv.EncRandomness(fq(tv), fq(te0), fq(te1)))
+            ok = jnp.bool_(True)
+            for lc, cs_, c_ in ((lhs.c0, fq(stash["cm_c0"]),
+                                 fq(stash["ct_c0"])),
+                                (lhs.c1, fq(stash["cm_c1"]),
+                                 fq(stash["ct_c1"]))):
+                plus = _n2q(cs_ + c_[:, None])
+                rhs_l = jnp.where(sel, plus.limbs, _n2q(cs_).limbs)
+                ok = ok & jnp.all(lc.equals(FpArray(rhs_l, MNT4Q, 2)))
+            tau = (FR.p - 1) // 2
+            rho = 64
+            z_viol = _norm_violation(fq(z_l), 2 * tau)
+            t_viol = (_norm_violation(fq(tv), 2 * rho)
+                      | _norm_violation(fq(te0), 2 * rho)
+                      | _norm_violation(fq(te1), 2 * rho))
+            return ok & ~z_viol & ~t_viol
+    else:
+        raise KeyError(name)
+    return jax.jit(fn)
+
+
+def triple_kernel(ctx: DealerContext):
+    """(jitted_fn, state): `jitted_fn(state, key)` produces one triple batch
+    with dealer-independent HLO (persistent-cache friendly)."""
+    return (_kernel("triple", ctx.params.n, ctx.n_parties, ctx.params.sigma),
+            dealer_state(ctx))
 
 
 def _sum_ct(cts):
@@ -155,14 +321,23 @@ def _sum_ct(cts):
     return acc
 
 
+def _ct_sum_axis0(ct: bgv.Ciphertext) -> bgv.Ciphertext:
+    """Fold a batched ciphertext's leading axis (sum of per-party cts)."""
+    def s(f: FpArray):
+        acc = FpArray(f.limbs[0], f.spec, f.bound)
+        for i in range(1, f.limbs.shape[0]):
+            acc = acc + FpArray(f.limbs[i], f.spec, f.bound)
+        return acc
+    return bgv.Ciphertext(s(ct.c0), s(ct.c1), s(ct.c2))
+
+
 def _encrypt_party_slots(ctx: DealerContext, slots_P: FpArray, key):
-    """slots_P: [P, n] Fr -> list of P ciphertexts + their randomness."""
-    cts = []
-    for i in range(ctx.n_parties):
-        r = bgv.sample_enc_randomness(
-            ctx.params, jax.random.fold_in(key, i))
-        cts.append(bgv.encrypt_slots(ctx.pk, ctx.params, slots_P[i], r))
-    return cts
+    """slots_P: [P, n] Fr -> ONE batched ciphertext with a leading [P]
+    axis.  All parties encrypt in one batched graph (the per-party Python
+    loop inlined P copies of the encode+encrypt subgraph into every
+    reshare/triple jit — compile mass, `BENCH_r04` 283 s triple compile)."""
+    r = bgv.sample_enc_randomness(ctx.params, key, (ctx.n_parties,))
+    return bgv.encrypt_slots(ctx.pk, ctx.params, slots_P, r)
 
 
 def reshare(ctx: DealerContext, e_m: bgv.Ciphertext, key,
@@ -175,7 +350,8 @@ def reshare(ctx: DealerContext, e_m: bgv.Ciphertext, key,
     P_ = ctx.n_parties
     f = uniform_fp(jax.random.fold_in(key, 1000), FR, (P_, n))
     e_f = _encrypt_party_slots(ctx, f, jax.random.fold_in(key, 2000))
-    e_mf = _sum_ct([e_m] + e_f)
+    e_f_sum = _ct_sum_axis0(e_f)
+    e_mf = e_m + e_f_sum
     mf = bgv.decrypt_slots(ctx.sk, e_mf)          # m + sum f  [n]
     # shares: leader gets (m + sum f) - f_0, others get -f_i; sums to m
     shares = -f
@@ -188,57 +364,64 @@ def reshare(ctx: DealerContext, e_m: bgv.Ciphertext, key,
         r = bgv.sample_enc_randomness(ctx.params,
                                       jax.random.fold_in(key, 3000))
         e_mf_fresh = bgv.encrypt_slots(ctx.pk, ctx.params, mf, r)
-        neg = _sum_ct(e_f)
-        fresh = e_mf_fresh - neg
+        fresh = e_mf_fresh - e_f_sum
     return shares, fresh
 
 
 def angle(ctx: DealerContext, shares: FpArray, e_m: bgv.Ciphertext, key):
     """SPDZ <m>: (shares [P, n], mac shares [P, n]) with mac = alpha * m
     (`preprocessing.rs:540-611`).  The ciphertext-mult + reshare pipeline
-    runs as one jitted graph per dealer (eager TPU dispatch is ~ms/op)."""
-    def impl(c0, c1, c2, key):
-        e = bgv.Ciphertext(_n2q(FpArray(c0, MNT4Q, 2)),
-                           FpArray(c1, MNT4Q, 2), FpArray(c2, MNT4Q, 2))
-        e_gamma = ctx.e_alpha.mul(e)
-        mac_shares, _ = reshare(ctx, e_gamma, jax.random.fold_in(key, 1))
-        return _n2q(mac_shares).limbs
-
-    mac_l = _ctx_jit(ctx, "angle", impl)(
+    runs as one jitted graph with the dealer state as arguments (eager TPU
+    dispatch is ~ms/op; closure constants would defeat the compile cache)."""
+    mac_l = _kernel("angle", ctx.params.n, ctx.n_parties, ctx.params.sigma)(
+        dealer_state(ctx),
         _n2q(e_m.c0).limbs, _n2q(e_m.c1).limbs, _n2q(e_m.c2).limbs, key)
     return shares, FpArray(mac_l, FR, 2)
 
 
 def _diag_encrypt_with_popk(ctx: DealerContext, vals: FpArray, key):
-    """Encrypt diag(vals_j) per party with a ZKPoPK each; -> list of cts."""
+    """Encrypt diag(vals_j) per party with a ZKPoPK each; -> list of cts.
+
+    Fully BATCHED over parties: ONE jitted encrypt+commit phase, ONE host
+    Fiat-Shamir pass over device-canonicalized bytes, ONE jitted
+    respond+verify phase (re-encryption equality + DPSZ infinity-norm
+    bounds on device).  The round-4 form looped zkpopk_prove/verify per
+    party with eager `canon_limbs` dispatches between the jits — on the
+    tunneled TPU each eager op is a network round trip, which is where the
+    361 s initialize wall-clock went (BENCH_r04)."""
     P_ = ctx.n_parties
     n = ctx.params.n
-    diag = FpArray(jnp.broadcast_to(vals.limbs[:, None, :],
-                                    (P_, n, vals.limbs.shape[-1])),
-                   FR, vals.bound)
+    V = _SEC
 
-    def enc_impl(vals_l, key):
-        d = FpArray(jnp.broadcast_to(vals_l[:, None, :],
-                                     (P_, n, vals_l.shape[-1])), FR, 2)
-        r = bgv.sample_enc_randomness(ctx.params, key, (P_,))
-        ct = bgv.encrypt_slots(ctx.pk, ctx.params, d, r)
-        return (_n2q(ct.c0).limbs, _n2q(ct.c1).limbs,
-                _n2q(r.v).limbs, _n2q(r.e0).limbs, _n2q(r.e1).limbs)
-
-    c0s, c1s, rv, re0, re1 = _ctx_jit(ctx, "diag_enc", enc_impl)(
-        _n2q(vals).limbs, key)
-    cts = []
+    st, hb, cmb = _kernel("diag_enc_commit", n, P_, ctx.params.sigma)(
+        dealer_state(ctx), _n2q(vals).limbs, key)
+    # ONE host transfer for all hash inputs; blake2b per party.  Bytes per
+    # party: ct.c0||ct.c1||ct.c2(zeros)|| for k<V: cm.c0[k]||cm.c1[k]||zeros
+    # (the `_hash_fs` component order with c2 = 0 for fresh encryptions).
+    hb_h = np.asarray(jax.device_get(hb))          # [P, 2, ring, limbs]
+    cmb_h = np.asarray(jax.device_get(cmb))        # [P, 2, V, ring, limbs]
+    zeros_c2 = np.zeros_like(hb_h[0, 0]).tobytes()
+    ebits_all = []
     for i in range(P_):
-        ct = bgv.Ciphertext(FpArray(c0s[i], MNT4Q, 2),
-                            FpArray(c1s[i], MNT4Q, 2),
-                            FpArray.zeros(MNT4Q, (n,)))
-        r = bgv.EncRandomness(FpArray(rv[i], MNT4Q, 2),
-                              FpArray(re0[i], MNT4Q, 2),
-                              FpArray(re1[i], MNT4Q, 2))
-        proof = zkpopk_prove(ctx, diag[i], r, ct,
-                             jax.random.fold_in(key, 100 + i))
-        assert zkpopk_verify(ctx, ct, proof), "ZKPoPK rejected"
-        cts.append(ct)
+        h = hashlib.blake2b(digest_size=32)
+        h.update(hb_h[i, 0].tobytes())
+        h.update(hb_h[i, 1].tobytes())
+        h.update(zeros_c2)
+        for k in range(V):
+            h.update(cmb_h[i, 0, k].tobytes())
+            h.update(cmb_h[i, 1, k].tobytes())
+            h.update(zeros_c2)
+        e = h.digest()
+        ebits_all.append([(e[k // 8] >> (k % 8)) & 1 for k in range(V)])
+    eb = jnp.asarray(ebits_all, jnp.uint32)        # [P, V]
+
+    ok = _kernel("diag_popk_verify", n, P_, ctx.params.sigma)(
+        dealer_state(ctx), st, eb)
+    assert bool(np.asarray(jax.device_get(ok))), "ZKPoPK rejected"
+    cts = [bgv.Ciphertext(FpArray(st["ct_c0"][i], MNT4Q, 2),
+                          FpArray(st["ct_c1"][i], MNT4Q, 2),
+                          FpArray.zeros(MNT4Q, (n,)))
+           for i in range(P_)]
     return cts
 
 
@@ -248,19 +431,20 @@ def bracket(ctx: DealerContext, shares: FpArray, e_m: bgv.Ciphertext, key):
     every key-owner j (`preprocessing.rs:613-721` BracketShares: each party
     holds its share plus one MAC share under every other party's key)."""
     assert ctx.e_beta is not None, "initialize() first"
-
-    def impl(c0, c1, c2, key):
-        e = bgv.Ciphertext(FpArray(c0, MNT4Q, 2), FpArray(c1, MNT4Q, 2),
-                           FpArray(c2, MNT4Q, 2))
-        macs = []
-        for j in range(ctx.n_parties):
-            e_gamma_j = ctx.e_beta[j].mul(e)
-            macs_j, _ = reshare(ctx, e_gamma_j, jax.random.fold_in(key, j))
-            macs.append(_n2q(macs_j))
-        return FpArray.stack(macs, axis=0).limbs
-
-    macs_l = _ctx_jit(ctx, "bracket", impl)(
-        _n2q(e_m.c0).limbs, _n2q(e_m.c1).limbs, _n2q(e_m.c2).limbs, key)
+    # stack the per-key ciphertexts once; vmap the (mul + reshare) body over
+    # the key-owner axis so the traced graph carries ONE copy instead of
+    # n_parties inlined copies (the unrolled form compiled for 236 s on the
+    # tunneled TPU at ring degree 1024 — the bulk of initialize wall-clock)
+    eb_c0 = jnp.stack([_n2q(cb.c0).limbs for cb in ctx.e_beta])
+    eb_c1 = jnp.stack([_n2q(cb.c1).limbs for cb in ctx.e_beta])
+    eb_c2 = jnp.stack([_n2q(cb.c2).limbs for cb in ctx.e_beta])
+    keys = jnp.stack([jax.random.fold_in(key, j)
+                      for j in range(ctx.n_parties)])
+    macs_l = _kernel("bracket", ctx.params.n, ctx.n_parties,
+                     ctx.params.sigma)(
+        dealer_state(ctx),
+        _n2q(e_m.c0).limbs, _n2q(e_m.c1).limbs, _n2q(e_m.c2).limbs,
+        eb_c0, eb_c1, eb_c2, keys)
     return shares, FpArray(macs_l, FR, 2)
 
 
@@ -298,7 +482,7 @@ def pair(ctx: DealerContext, key):
     P_ = ctx.n_parties
     n = ctx.params.n
     r_i = uniform_fp(jax.random.fold_in(key, 1), FR, (P_, n))
-    e_r = _sum_ct(_encrypt_party_slots(ctx, r_i, jax.random.fold_in(key, 2)))
+    e_r = _ct_sum_axis0(_encrypt_party_slots(ctx, r_i, jax.random.fold_in(key, 2)))
     _, macs = angle(ctx, r_i, e_r, jax.random.fold_in(key, 3))
     br = bracket(ctx, r_i, e_r, jax.random.fold_in(key, 4)) \
         if ctx.e_beta is not None else None
@@ -315,8 +499,8 @@ def inv_pair(ctx: DealerContext, key):
     n = ctx.params.n
     r_i = uniform_fp(jax.random.fold_in(key, 1), FR, (P_, n))
     s_i = uniform_fp(jax.random.fold_in(key, 2), FR, (P_, n))
-    e_r = _sum_ct(_encrypt_party_slots(ctx, r_i, jax.random.fold_in(key, 3)))
-    e_s = _sum_ct(_encrypt_party_slots(ctx, s_i, jax.random.fold_in(key, 4)))
+    e_r = _ct_sum_axis0(_encrypt_party_slots(ctx, r_i, jax.random.fold_in(key, 3)))
+    e_s = _ct_sum_axis0(_encrypt_party_slots(ctx, s_i, jax.random.fold_in(key, 4)))
     w = bgv.decrypt_slots(ctx.sk, e_r.mul(e_s))        # [n] public
     w_inv = w.inv()
     rinv_i = s_i * w_inv.broadcast_to(s_i.shape)       # scale by public
@@ -340,8 +524,8 @@ def triple(ctx: DealerContext, key):
     n = ctx.params.n
     a_i = uniform_fp(jax.random.fold_in(key, 1), FR, (P_, n))
     b_i = uniform_fp(jax.random.fold_in(key, 2), FR, (P_, n))
-    e_a = _sum_ct(_encrypt_party_slots(ctx, a_i, jax.random.fold_in(key, 3)))
-    e_b = _sum_ct(_encrypt_party_slots(ctx, b_i, jax.random.fold_in(key, 4)))
+    e_a = _ct_sum_axis0(_encrypt_party_slots(ctx, a_i, jax.random.fold_in(key, 3)))
+    e_b = _ct_sum_axis0(_encrypt_party_slots(ctx, b_i, jax.random.fold_in(key, 4)))
     e_c = e_a.mul(e_b)
     c_i, e_c_fresh = reshare(ctx, e_c, jax.random.fold_in(key, 5),
                              new_ciphertext=True)
@@ -473,6 +657,16 @@ def _limbs_gt_const(canon, c: int, spec) -> "jnp.ndarray":
     return jnp.any(gt & (eq_above > 0), axis=-1)
 
 
+def _norm_violation(x: FpArray, thr: int):
+    """Traced scalar bool: any coefficient with |centered lift| > thr
+    (in-graph form of `_inf_norm_exceeds` for batched verifiers)."""
+    q = x.spec.p
+    limbs = x.int_limbs()
+    viol = _limbs_gt_const(limbs, thr, x.spec) & \
+        ~_limbs_gt_const(limbs, q - thr - 1, x.spec)
+    return jnp.any(viol)
+
+
 def _inf_norm_exceeds(x: FpArray, thr: int) -> bool:
     """max |centered lift| > thr, evaluated on device in one pass (the old
     host loop converted every coefficient to a Python bigint — minutes of
@@ -549,7 +743,11 @@ class SheTripleSource:
 
     def _refill(self):
         self.key, k = jax.random.split(self.key)
-        self._pool.append(triple(self.ctx, k))
+        fn, st = triple_kernel(self.ctx)
+        a, ma, b, mb, c, mc = fn(st, k)
+        wrap = lambda l: FpArray(l, FR, 2)
+        self._pool.append(((wrap(a), wrap(ma)), (wrap(b), wrap(mb)),
+                           (wrap(c), wrap(mc))))
 
     def field_triples(self, spec, shape):
         assert spec is FR
