@@ -61,6 +61,13 @@ def sw_msm_multi(points_list, scalars_list, nbits: int | None = None):
     if k == 1:
         return [sw_msm(points_list[0], scalars_list[0], nbits=nbits)]
     Nmax = max(p.shape[0] for p in points_list)
+    if Nmax < 16:
+        # tiny MSMs (test-sized circuits): the simple ladders compile in
+        # seconds, while the full bucketed Pippenger construct (sort +
+        # scanned segmented accumulation) takes ~40 min of XLA:CPU compile —
+        # the same small-N dispatch `sw_msm` already makes
+        return [sw_msm(p, s, nbits=nbits)
+                for p, s in zip(points_list, scalars_list)]
     spec = scalars_list[0].spec
 
     def pad_pts(p):
