@@ -379,7 +379,28 @@ def _te_tree_scan(cs, leaves) -> TEAffineVar:
         outs = tuple(B._norm2(w) for w in (u_v, v_v, t_v, xy_v, yx_v, x3, y3))
         return (B._norm2(nX), B._norm2(nY)), outs
 
-    _, stk = jax.lax.scan(body, state, m_arr)
+    from ..parallel import transport as _T
+    if _T.current().kind == "socket":
+        # socket transport: Beaver reveals are host TCP rounds, so the tree
+        # levels run as eager Python iterations (same math, log-depth real
+        # protocol rounds) instead of one lax.scan
+        carry, outs_list = state, []
+        for m_l in ms:
+            carry, outs = body(carry, jnp.asarray(m_l, jnp.int32))
+            outs_list.append(outs)
+
+        def stackw(ws):
+            val = _FA(jnp.stack([w.value.limbs for w in ws]),
+                      ws[0].value.spec, max(w.value.bound for w in ws))
+            mac = None
+            if ws[0].mac is not None:
+                mac = _FA(jnp.stack([w.mac.limbs for w in ws]),
+                          ws[0].mac.spec, max(w.mac.bound for w in ws))
+            return MpcFp(val, ws[0].visibility, mac)
+
+        stk = tuple(stackw([o[j] for o in outs_list]) for j in range(7))
+    else:
+        _, stk = jax.lax.scan(body, state, m_arr)
 
     def level_vals(w: MpcFp, l: int, m2: int) -> MpcFp:
         def f(fp):

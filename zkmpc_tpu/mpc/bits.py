@@ -56,6 +56,14 @@ def b_not(a: MpcFp) -> MpcFp:
     return MpcFp.const(a.spec, 1) - a
 
 
+def _use_scan(x: MpcFp) -> bool:
+    """Scan-formulated log-trees need in-graph collectives (stacked/mesh
+    transports).  Over the SOCKET transport every Beaver-mul reveal is a
+    host TCP round, so the log levels must run as eager Python iterations
+    (log2(n) real protocol rounds — the deployment communication shape)."""
+    return x.is_shared() and T.current().kind != "socket"
+
+
 def _tree_reduce_lastaxis(bits: MpcFp, op, fill_one: bool = False) -> MpcFp:
     """Reduce [.., n] -> [..] with a log-depth tree of batched ops.
 
@@ -68,7 +76,7 @@ def _tree_reduce_lastaxis(bits: MpcFp, op, fill_one: bool = False) -> MpcFp:
     n = x.shape[-1]
     if n == 1:
         return _index_last(x, 0)
-    if x.is_shared():
+    if _use_scan(x):
         nlev = (n - 1).bit_length()
         ds = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
         x = _norm2(x)
@@ -352,7 +360,7 @@ def _prefix_products(x: MpcFp) -> MpcFp:
     n = x.shape[-1]
     if n == 1:
         return x
-    if x.is_shared():
+    if _use_scan(x):
         nlev = (n - 1).bit_length()
         ds = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
         y = _norm2(x)
@@ -489,7 +497,7 @@ def _suffix_or(x: MpcFp) -> MpcFp:
     n = x.shape[-1]
     if n == 1:
         return x
-    if x.is_shared():
+    if _use_scan(x):
         nlev = (n - 1).bit_length()
         ds = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
         y = _norm2(x)
@@ -652,7 +660,7 @@ def carries(a_bits: MpcFp, b_bits: MpcFp) -> MpcFp:
     # parallel prefix on (g, q): (g2, q2) o (g1, q1) = (g2 + q2*g1, q2*q1)
     G, Q = g, q
     n = a_bits.shape[-1]
-    if n > 1 and G.is_shared() and Q.is_shared():
+    if n > 1 and _use_scan(G) and Q.is_shared():
         # scan over the log levels with the two level-muls FUSED into one
         # batched Beaver round: [Q, Q] * [G_sh, Q_sh] (ONE mul body traced)
         nlev = (n - 1).bit_length()

@@ -247,6 +247,10 @@ class SocketTransport(T.Transport):
         import jax.numpy as jnp
         return jnp.asarray(self.party_id, dtype=jnp.int32)
 
+    def party_id_scalar(self):
+        import jax.numpy as jnp
+        return jnp.asarray(self.party_id, dtype=jnp.int32)
+
     def leader_mask(self, batch_ndim: int):
         import jax.numpy as jnp
         return jnp.asarray(self.party_id == 0)
