@@ -25,6 +25,15 @@ import statistics
 import sys
 import time
 
+# Pin Python hash randomization BEFORE anything traces: the traced HLO of
+# the big prove graphs varies with the interpreter's hash seed (measured:
+# identical back-to-back runs produced different persistent-cache keys for
+# jit_step; with PYTHONHASHSEED=0 the second run HITS).  Without this every
+# bench run re-pays 200-400 s of XLA compile that the cache already holds.
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import numpy as np
 
 BASELINE_PROVE_S = 6.572
