@@ -111,8 +111,11 @@ def _timed(step, args, label, reps=REPS):
 
 
 def bench_pedersen_prove():
+    """Time the jitted prove; returns (dpk, out) so the proof can be
+    verified LATER — the eager FpArray/pairing decode in verification
+    poisons the runtime (see main() ordering note)."""
     import jax
-    from zkmpc_tpu.snark import driver, groth16
+    from zkmpc_tpu.snark import driver
 
     dpk = driver.cached_pedersen_dpk(N_PARTIES, cache_dir=CACHE)
     fn, args = driver.make_pedersen_prove_fn_dpk(dpk, N_PARTIES)
@@ -152,15 +155,24 @@ def bench_pedersen_prove():
     print(f"# pedersen_prove: median {t * 1e3:.2f}ms  IQR "
           f"[{q1 * 1e3:.2f}, {q3 * 1e3:.2f}]ms over {len(times)} reps",
           file=sys.stderr)
-
-    proof_ints = driver.proof_arrays_to_ints(
-        [jax.device_get(o) for o in out])
-    ok = groth16.verify(dpk.pk.vk, driver.expected_pedersen_instance(N_PARTIES),
-                        proof_ints)
-    assert ok, "benchmark proof failed verification!"
     _RESULT["headline"] = {"metric": metric, "value": round(t, 4),
                            "unit": "s",
                            "vs_baseline": round(BASELINE_PROVE_S / t, 2)}
+    return dpk, out
+
+
+def verify_pedersen_proof(dpk, out):
+    """Host verification of the benchmark proof (EAGER decode + spec
+    pairing) — runs after every latency measurement."""
+    import jax
+    from zkmpc_tpu.snark import driver, groth16
+    proof_ints = driver.proof_arrays_to_ints(
+        [jax.device_get(o) for o in out])
+    ok = groth16.verify(dpk.pk.vk,
+                        driver.expected_pedersen_instance(N_PARTIES),
+                        proof_ints)
+    assert ok, "benchmark proof failed verification!"
+    print("# pedersen proof verified", file=sys.stderr)
 
 
 def bench_bit_protocols(only=None, skip=None):
@@ -230,45 +242,50 @@ def bench_bit_protocols(only=None, skip=None):
              "vs_baseline": round(base / t, 1)})
 
 
-def bench_preprocessing():
-    """SHE preprocessing: Beaver-triple THROUGHPUT (the BASELINE.json
-    'Beaver triples/s' metric).  `PP.triple` is a pure-array pipeline
-    (uniform sampling -> BGV encrypt -> ciphertext mult -> reshare ->
-    angle-ize), so the whole thing jits as ONE step producing n
-    authenticated triples per call; only `initialize` (ZKPoPK Fiat-Shamir
-    hashing on host) stays eager.  vs_baseline: the reference's whole
-    Groth16-path preprocessing (init + pair + ONE triple of n=3 slots)
-    takes 1.5 s (`docs/benchmark.md:5-7`) -> ~2 triples/s."""
+N_SLOTS = 1024
+
+
+def _dealer_pickle_path():
+    return os.path.join(CACHE, f"dealer_{N_SLOTS}s_{N_PARTIES}p_100.pkl")
+
+
+def bench_triples_clean():
+    """Beaver-triple THROUGHPUT from a PICKLED dealer, measured in the
+    clean runtime (before any eager op; the loaded dealer state is host
+    numpy, bound-2, so no eager tighten/transfer happens outside the jit).
+    Returns True if the pickle existed and the metric was recorded.
+    vs_baseline: the reference's whole Groth16-path preprocessing (init +
+    pair + ONE triple of n=3 slots) takes 1.5 s -> ~2 triples/s."""
+    import pickle
+
     import jax
-    from zkmpc_tpu.she import bgv, preprocessing as PP
+    from zkmpc_tpu.she import preprocessing as PP
 
-    n_slots = 1024
-    # ALWAYS measure a fresh initialize (no pickle shortcut for the metric):
-    # alpha/beta keygen + batched ZKPoPKs + vmapped bracket(alpha), one run.
-    # XLA-compile time amortizes through the persistent compilation cache
-    # (the installed-system analogue of the reference's compiled binary);
-    # the first-ever run on a box pays it and prints it here.
-    t0 = time.time()
-    ctx = PP.make_dealer(bgv.SheParams(n_slots), N_PARTIES,
-                         jax.random.PRNGKey(500))
-    PP.initialize(ctx, jax.random.PRNGKey(501))
-    t_init = time.time() - t0
-    print(f"# she dealer initialized (fresh, measured): {t_init:.2f}s",
-          file=sys.stderr)
-    _RESULT["extras"].append(
-        {"metric": f"she_initialize_wallclock_{N_PARTIES}party",
-         "value": round(t_init, 3), "unit": "s",
-         "vs_baseline": round(BASELINE_PREPROC_S / t_init, 2)})
+    path = _dealer_pickle_path()
+    if not os.path.exists(path):
+        print("# no dealer pickle yet; triples will be measured after "
+              "initialize (degraded-runtime fallback)", file=sys.stderr)
+        return False
+    try:
+        with open(path, "rb") as f:
+            doc = pickle.load(f)
+        assert doc.get("schema") == PP._DEALER_SCHEMA
+        ctx = PP.dealer_from_host(doc)
+    except Exception as e:
+        print(f"# dealer pickle unreadable ({e!r}); fallback", file=sys.stderr)
+        return False
+    _measure_triples(PP, ctx, "clean")
+    return True
 
-    # dealer-independent jitted triple kernel: HLO depends only on
-    # (n_slots, n_parties), so the persistent compile cache makes the
-    # first call cheap on any box that has ever compiled these shapes
+
+def _measure_triples(PP, ctx, tag):
+    import jax
     step, state = PP.triple_kernel(ctx)
     t0 = time.time()
     out = step(state, jax.random.PRNGKey(200))
     jax.block_until_ready(out)
-    print(f"# triple first call (compile+run): {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    print(f"# triple first call (compile+run, {tag}): "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
     times = []
     for i in range(10):
         t0 = time.time()
@@ -278,13 +295,64 @@ def bench_preprocessing():
         if _remaining() < 30:
             break
     t = statistics.median(times)
-    tps = n_slots / t
-    print(f"# she triple: median {t * 1e3:.2f}ms for {n_slots} slots "
-          f"-> {tps:,.0f} triples/s over {len(times)} reps", file=sys.stderr)
+    tps = N_SLOTS / t
+    print(f"# she triple ({tag}): median {t * 1e3:.2f}ms for {N_SLOTS} "
+          f"slots -> {tps:,.0f} triples/s over {len(times)} reps",
+          file=sys.stderr)
     _RESULT["extras"].append(
         {"metric": f"she_beaver_triples_per_s_{N_PARTIES}party",
          "value": round(tps, 1), "unit": "triples/s",
          "vs_baseline": round(tps / 2.0, 1)})
+
+
+def bench_preprocessing(need_triples: bool):
+    """SHE initialize wall-clock, measured fresh (alpha/beta keygen +
+    batched ZKPoPKs + vmapped bracket(alpha)) — the inherently eager phase,
+    so it runs LAST.  Also measures a SECOND fresh-dealer initialize with
+    the kernels warm (the steady-state per-ceremony cost), and persists the
+    dealer pickle so the NEXT bench run measures triples in the clean
+    runtime."""
+    import pickle
+    import tempfile
+
+    import jax
+    from zkmpc_tpu.she import bgv, preprocessing as PP
+
+    t0 = time.time()
+    ctx = PP.make_dealer(bgv.SheParams(N_SLOTS), N_PARTIES,
+                         jax.random.PRNGKey(500))
+    PP.initialize(ctx, jax.random.PRNGKey(501))
+    t_init = time.time() - t0
+    print(f"# she dealer initialized (fresh, measured): {t_init:.2f}s",
+          file=sys.stderr)
+    _RESULT["extras"].append(
+        {"metric": f"she_initialize_wallclock_{N_PARTIES}party",
+         "value": round(t_init, 3), "unit": "s",
+         "vs_baseline": round(BASELINE_PREPROC_S / t_init, 2)})
+    if _remaining() > 90:
+        # steady-state ceremony cost: fresh dealer, kernels warm
+        t0 = time.time()
+        ctx2 = PP.make_dealer(bgv.SheParams(N_SLOTS), N_PARTIES,
+                              jax.random.PRNGKey(600))
+        PP.initialize(ctx2, jax.random.PRNGKey(601))
+        t_warm = time.time() - t0
+        print(f"# she initialize (fresh dealer, warm kernels): "
+              f"{t_warm:.2f}s", file=sys.stderr)
+        _RESULT["extras"].append(
+            {"metric": f"she_initialize_warm_{N_PARTIES}party",
+             "value": round(t_warm, 3), "unit": "s",
+             "vs_baseline": round(BASELINE_PREPROC_S / t_warm, 2)})
+    # persist for the next run's clean-runtime triple measurement (and
+    # reuse by tests); seed kept at the cached_initialized_dealer default
+    os.makedirs(CACHE, exist_ok=True)
+    doc = PP.dealer_to_host(ctx)
+    doc["schema"] = PP._DEALER_SCHEMA
+    fd, tmp = tempfile.mkstemp(dir=CACHE, suffix=".pkl.tmp")
+    with os.fdopen(fd, "wb") as f:
+        pickle.dump(doc, f)
+    os.replace(tmp, _dealer_pickle_path())
+    if need_triples and _remaining() > 120:
+        _measure_triples(PP, ctx, "post-initialize")
 
 
 def main():
@@ -297,22 +365,36 @@ def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(max(int(BUDGET_S), 60))
 
-    # cheapest-compile metric first: guarantees a real measurement exists
-    # within a few minutes even if the prove compile is cold and the
-    # driver's timeout fires (the watchdog then promotes it to the
-    # headline slot).  equality_zero is one small jitted graph; the SHE
-    # preprocessing bench runs LAST — it executes eagerly, and on the
-    # axon-tunneled TPU per-op dispatch makes eager protocol runs slow.
+    # ORDERING IS LOAD-BEARING.  On the axon runtime, a single EAGER jnp
+    # dispatch permanently degrades every executable compiled AFTER it by
+    # ~1000x (measured: bit_decomposition 0.08 ms when compiled in a clean
+    # runtime vs 108 ms when any eager op ran first; jitted calls are
+    # harmless).  This is what produced BENCH_r04's 108/256 ms bit-protocol
+    # medians: the eager proof-decode tail of the prove bench poisoned the
+    # bit graphs compiled after it.  So: ALL jit compiles + latency
+    # measurements first, every eager phase (proof verification, SHE
+    # preprocessing) last.
     try:
-        bench_bit_protocols(only="equality_zero")
+        bench_bit_protocols()
     except Exception as e:
-        print(f"# eqz bench failed: {e!r}", file=sys.stderr)
-    bench_pedersen_prove()
-    if _remaining() > 90:
-        bench_bit_protocols(skip="equality_zero")
+        print(f"# bit protocol bench failed: {e!r}", file=sys.stderr)
+    have_triples = False
+    try:
+        have_triples = bench_triples_clean()
+    except Exception as e:
+        print(f"# clean triple bench failed: {e!r}", file=sys.stderr)
+    pedersen_artifacts = None
+    try:
+        pedersen_artifacts = bench_pedersen_prove()
+    except Exception as e:
+        print(f"# pedersen bench failed: {e!r}", file=sys.stderr)
+        raise
+    # ---- everything below here runs EAGER ops (degraded runtime) ----
+    if pedersen_artifacts is not None:
+        verify_pedersen_proof(*pedersen_artifacts)
     if _remaining() > 120:
         try:
-            bench_preprocessing()
+            bench_preprocessing(need_triples=not have_triples)
         except Exception as e:
             print(f"# preprocessing bench failed: {e!r}", file=sys.stderr)
     signal.alarm(0)

@@ -77,6 +77,9 @@ def _enc_node(x):
     if x is None:
         return None
     if isinstance(x, FpArray):
+        # store tightened (bound <= 2): a loaded dealer can then feed
+        # jit kernels without any eager tighten pass (see _dec_node)
+        x = _n2q(x)
         return ("fp", x.spec.name, int(x.bound),
                 np.asarray(jax.device_get(x.limbs)))
     if isinstance(x, bgv.Ciphertext):
@@ -92,7 +95,11 @@ def _dec_node(d):
     tag = d[0]
     if tag == "fp":
         _, name, bound, limbs = d
-        return FpArray(jnp.asarray(limbs), _SPEC_BY_NAME[name], bound)
+        # keep limbs as HOST numpy: a jnp.asarray here is an eager device
+        # transfer, which flips the axon runtime into its degraded launch
+        # mode (see bench.py ordering note) — jit calls transfer arguments
+        # themselves without that side effect
+        return FpArray(np.asarray(limbs), _SPEC_BY_NAME[name], bound)
     if tag == "ct":
         return bgv.Ciphertext(_dec_node(d[1]), _dec_node(d[2]), _dec_node(d[3]))
     _, is_tuple, items = d
